@@ -111,12 +111,16 @@ sat_collide_pairwise = jax.vmap(
 
 
 def point_in_convex(p, poly):
-    """True if point ``p`` [2] is inside convex CCW polygon [V, 2] (closed)."""
+    """True if point ``p`` [2] is inside convex polygon [V, 2].
+
+    Orientation-agnostic (the reference's maneuver polygons are clockwise,
+    generate_maneuver.m:75, while our outer approximations are CCW).
+    Degenerate repeated vertices give zero cross products and are harmless.
+    """
     edges = jnp.roll(poly, -1, axis=0) - poly
     rel = p[None, :] - poly
     cross = edges[:, 0] * rel[:, 1] - edges[:, 1] * rel[:, 0]
-    # Degenerate edges give cross == 0 which does not break the test.
-    return jnp.all(cross >= -_EPS)
+    return jnp.all(cross >= -_EPS) | jnp.all(cross <= _EPS)
 
 
 def _segment_intersection(p1, p2, q1, q2):
