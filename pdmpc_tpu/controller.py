@@ -1,0 +1,523 @@
+"""Prioritized multi-vehicle control step — the HLC layer.
+
+TPU-native re-design of the reference's controller stack
+(hlc/controller/HighLevelController.m, PrioritizedController.m,
+PrioritizedSequentialController.m): one control period is a single batched,
+fixed-shape, jittable program over all vehicles:
+
+measure -> traffic info (reference trajectory, occupied areas, reachable
+sets) -> couple -> prioritize -> weigh -> cut -> level-by-level planning
+(sequential predecessors' just-published predictions as obstacles, parallel
+higher-priority vehicles' reachable sets or delayed trajectories) ->
+fallback handling with transitive propagation -> apply.
+
+The level loop realizes the PrioritizedSequentialController semantics
+(deterministic in-process simulation of the distributed schedule,
+PrioritizedSequentialController.m:77-94); the distributed execution shards
+the same program over a device mesh (see parallel/sharded.py), where the
+reference's blocking ROS 2 reads become collectives.
+
+Everything is vmappable over a scenario batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pdmpc_tpu.config import (
+    Config,
+    ConstraintFromSuccessor,
+    CouplingStrategies,
+    PriorityStrategies,
+    WeightStrategies,
+)
+from pdmpc_tpu.models.bicycle import VEHICLE_LENGTH, VEHICLE_WIDTH
+from pdmpc_tpu.models.mpa import MpaTensors
+from pdmpc_tpu.ops import geometry as geo
+from pdmpc_tpu.ops import search
+from pdmpc_tpu.ops.search import VO, Obstacles, pad_polys_to_vo
+from pdmpc_tpu.parallel import graph as graph_ops
+from pdmpc_tpu.scenarios.scenario import ScenarioTensors
+
+# Reference: PrioritizedController.consider_successors (:536)
+STANDSTILL_SPEED = 0.01
+# Reference: ReachableSetCoupler.m:45
+COUPLING_AREA_THRESHOLD = 1e-3
+
+
+class StepState(NamedTuple):
+    """Carry of the receding-horizon loop (one scenario).
+
+    ``prev_*`` hold the previous step's chosen plan — the information the
+    reference keeps in ``info_old`` for fallback (plan_fallback,
+    PrioritizedController.m:678-718) and for the one-step-delayed
+    trajectory mode (parallel_coupling_previous_trajectory, :409-447).
+    """
+
+    pose: jax.Array         # [N, 3]
+    trim: jax.Array         # [N] i32
+    prev_poses: jax.Array   # [N, Hp, 3]
+    prev_trims: jax.Array   # [N, Hp] i32
+    prev_shapes: jax.Array  # [N, Hp, VO, 2]
+    prev_valid: jax.Array   # [N] bool
+
+
+class StepInfo(NamedTuple):
+    """Per-step record (the ControlResultsInfo / IterationData capability)."""
+
+    poses: jax.Array          # [N, Hp, 3]
+    trims: jax.Array          # [N, Hp] i32
+    shapes: jax.Array         # [N, Hp, VO, 2]
+    cost: jax.Array           # [N]
+    needs_fallback: jax.Array  # [N] bool
+    is_exhausted: jax.Array   # [N] bool
+    n_expanded: jax.Array     # [N] i32
+    adjacency: jax.Array      # [N, N] bool
+    directed_coupling: jax.Array    # [N, N] bool
+    directed_sequential: jax.Array  # [N, N] bool
+    levels: jax.Array         # [N] i32
+    priorities: jax.Array     # [N] i32
+    reference_points: jax.Array  # [N, Hp, 2]
+
+
+def initial_state(scenario: ScenarioTensors, hp: int) -> StepState:
+    n = scenario.n_vehicles
+    return StepState(
+        pose=scenario.start_poses,
+        trim=scenario.start_trims,
+        prev_poses=jnp.zeros((n, hp, 3)),
+        prev_trims=jnp.zeros((n, hp), dtype=jnp.int32),
+        prev_shapes=jnp.zeros((n, hp, VO, 2)),
+        prev_valid=jnp.zeros((n,), dtype=bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traffic info (HighLevelController.update_controlled_vehicles_traffic_info,
+# :167-270)
+# ---------------------------------------------------------------------------
+
+
+def _reference_trajectory_single(mpa: MpaTensors, scenario: ScenarioTensors,
+                                 i, pose, trim, dt):
+    """Hp reference points + v_ref for one vehicle.
+
+    Reference: get_reference_trajectory.m + sample_reference_trajectory.m,
+    reformulated as arc-length sampling.
+    """
+    hp = mpa.Hp
+    v_ref = jnp.full((hp,), scenario.reference_speed[i])
+    v_current = mpa.trim_speed[trim]
+    v_intermediate = (
+        jnp.concatenate([v_current[None], v_ref[:-1]]) + v_ref
+    ) / 2.0
+    step_distances = v_intermediate * dt
+
+    path = scenario.reference_paths[i]
+    cumlen = scenario.path_cumlen[i]
+    s0, _, _ = geo.project_to_polyline(pose[:2], path, cumlen)
+    arcs = s0 + jnp.cumsum(step_distances)
+    ref_points = geo.sample_path_at_arclength(
+        path, arcs, cumlen, scenario.is_loop[i]
+    )
+    return ref_points, v_ref
+
+
+def _occupied_area(pose, offset):
+    """Vehicle rectangle at pose. Reference: get_occupied_areas.m."""
+    return geo.transformed_rectangle(
+        pose[0], pose[1], pose[2],
+        VEHICLE_LENGTH + 2 * offset, VEHICLE_WIDTH + 2 * offset,
+    )
+
+
+def _reachable_sets_at_pose(mpa: MpaTensors, pose, trim):
+    """Transform cached local reachable sets to the vehicle pose.
+
+    Reference: MotionPrimitiveAutomaton.reachable_sets_at_pose (:649-687).
+    Returns [Hp, K, 2].
+    """
+    local = mpa.local_reachable_sets[trim]    # [Hp, K, 2]
+    return geo.transform_polygon(local, pose[0], pose[1], pose[2])
+
+
+# ---------------------------------------------------------------------------
+# Coupling (hlc/controller/common/couple/)
+# ---------------------------------------------------------------------------
+
+
+def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed):
+    """Adjacency [N, N] bool from the configured coupling strategy."""
+    n = reachable_sets.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    if cfg.coupling == CouplingStrategies.no_coupling:
+        return jnp.zeros((n, n), dtype=bool)
+    if cfg.coupling == CouplingStrategies.full_coupling:
+        return ~eye
+    if cfg.coupling == CouplingStrategies.distance_coupling:
+        # DistanceCoupler.m: coupled iff distance <= 2 * v_max * dt * Hp
+        d = jnp.linalg.norm(
+            poses[:, None, :2] - poses[None, :, :2], axis=-1
+        )
+        max_distance = 2.0 * max_mpa_speed * cfg.dt_seconds * cfg.Hp
+        return (d <= max_distance) & ~eye
+    # reachable_set_coupling (default): overlap area of last-step reachable
+    # sets > threshold (ReachableSetCoupler.m:39-48)
+    last = reachable_sets[:, -1]              # [N, K, 2]
+    area = jax.vmap(
+        jax.vmap(geo.convex_intersection_area, in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(last, last)
+    return (area > COUPLING_AREA_THRESHOLD) & ~eye
+
+
+# ---------------------------------------------------------------------------
+# Prioritization (hlc/controller/prioritized/priority/)
+# ---------------------------------------------------------------------------
+
+
+def _calculate_yaw(points):
+    """Yaw along a point sequence via forward/central differences.
+
+    Reference: utility/calculate_yaw.m. points: [Hp, 2] -> [Hp].
+    """
+    nxt = jnp.roll(points, -1, axis=0)
+    prv = jnp.roll(points, 1, axis=0)
+    d_central = nxt - prv
+    d_fwd = nxt - points
+    d_bwd = points - prv
+    hp = points.shape[0]
+    idx = jnp.arange(hp)
+    d = jnp.where(
+        (idx == 0)[:, None], d_fwd,
+        jnp.where((idx == hp - 1)[:, None], d_bwd, d_central),
+    )
+    return jnp.arctan2(d[:, 1], d[:, 0])
+
+
+def _fca_priorities(cfg: Config, adjacency, ref_points):
+    """Future-Collision-Assessment priorities: more predicted collisions
+    along the reference -> higher priority (plans earlier).
+
+    Reference: FcaPrioritizer.m:24-93. (The reference passes MATLAB sort
+    *indices* as priority values, FcaPrioritizer.m:91; here the intended
+    rank semantics is implemented: rank in descending-collision order,
+    ties by vehicle index.)
+    """
+    n = adjacency.shape[0]
+    yaws = jax.vmap(_calculate_yaw)(ref_points)       # [N, Hp]
+
+    def shape_at(i, k):
+        return geo.transformed_rectangle(
+            ref_points[i, k, 0], ref_points[i, k, 1], yaws[i, k],
+            VEHICLE_LENGTH + 2 * cfg.offset, VEHICLE_WIDTH + 2 * cfg.offset,
+        )
+
+    shapes = jax.vmap(
+        lambda i: jax.vmap(lambda k: shape_at(i, k))(jnp.arange(cfg.Hp))
+    )(jnp.arange(n))                                   # [N, Hp, 4, 2]
+
+    def pair_collisions(i, j):
+        hits = jax.vmap(
+            lambda k: geo.sat_collide(shapes[i, k], shapes[j, k])
+        )(jnp.arange(cfg.Hp))
+        return jnp.sum(hits)
+
+    counts = jax.vmap(
+        lambda i: jax.vmap(lambda j: pair_collisions(i, j))(jnp.arange(n))
+    )(jnp.arange(n))
+    counts = jnp.where(adjacency, counts, 0)
+    collisions = jnp.sum(counts, axis=1)
+    order = jnp.argsort(-collisions, stable=True)
+    return jnp.zeros((n,), dtype=jnp.int32).at[order].set(
+        jnp.arange(1, n + 1, dtype=jnp.int32)
+    )
+
+
+def _prioritize(cfg: Config, adjacency, ref_points, k):
+    n = adjacency.shape[0]
+    if cfg.priority in (
+        PriorityStrategies.constant_priority,
+        PriorityStrategies.optimal_priority,
+        PriorityStrategies.explorative_priority,
+    ):
+        # optimal/explorative use constant as base (Prioritizer.m:26-29)
+        priorities = graph_ops.constant_priorities(n)
+    elif cfg.priority == PriorityStrategies.random_priority:
+        priorities = graph_ops.random_priorities(n, k, cfg.seed)
+    elif cfg.priority == PriorityStrategies.FCA_priority:
+        priorities = _fca_priorities(cfg, adjacency, ref_points)
+    elif cfg.priority == PriorityStrategies.coloring_priority:
+        priorities = graph_ops.coloring_priorities(adjacency)
+    else:
+        raise ValueError(f"unknown priority strategy {cfg.priority}")
+    directed = graph_ops.directed_coupling_from_priorities(
+        adjacency, priorities
+    )
+    return priorities, directed
+
+
+def _weigh(cfg: Config, directed, poses, k, max_mpa_speed):
+    if cfg.weight == WeightStrategies.constant_weight:
+        return graph_ops.constant_weights(directed)
+    if cfg.weight == WeightStrategies.random_weight:
+        return graph_ops.random_weights(directed, k, cfg.seed)
+    return graph_ops.distance_weights(
+        directed, poses[:, :2], max_mpa_speed, cfg.dt_seconds, cfg.Hp
+    )
+
+
+# ---------------------------------------------------------------------------
+# The prioritized step
+# ---------------------------------------------------------------------------
+
+
+def make_prioritized_step(cfg: Config, mpa: MpaTensors,
+                          scenario: ScenarioTensors):
+    """Build the jittable per-step function ``step(state, k) -> (state, info)``.
+
+    Strategy selectors are static (baked at trace time), mirroring how the
+    reference wires strategy objects once in the factory (HlcFactory.m).
+    """
+    n = scenario.n_vehicles
+    hp = mpa.Hp
+    dt = cfg.dt_seconds
+    max_mpa_speed = float(jnp.max(mpa.trim_speed))
+    max_num_cls = min(cfg.max_num_CLs, n)
+    use_reachability = cfg.isDealPredictionInconsistency
+    successor_mode = cfg.constraint_from_successor
+
+    def step(state: StepState, k: jax.Array):
+        # ---- traffic info ------------------------------------------------
+        ref_points, v_ref = jax.vmap(
+            lambda i, p, t: _reference_trajectory_single(
+                mpa, scenario, i, p, t, dt
+            )
+        )(jnp.arange(n), state.pose, state.trim)
+
+        occupied_offset = jax.vmap(
+            lambda p: _occupied_area(p, cfg.offset)
+        )(state.pose)                                    # [N, 4, 2]
+        occupied_no_offset = jax.vmap(
+            lambda p: _occupied_area(p, 0.0)
+        )(state.pose)
+
+        reachable_sets = jax.vmap(
+            lambda p, t: _reachable_sets_at_pose(mpa, p, t)
+        )(state.pose, state.trim)                        # [N, Hp, K, 2]
+
+        # ---- coupling graph ---------------------------------------------
+        adjacency = _couple(cfg, reachable_sets, state.pose, max_mpa_speed)
+        priorities, directed = _prioritize(cfg, adjacency, ref_points, k)
+        weighted = _weigh(cfg, directed, state.pose, k, max_mpa_speed)
+        sequential = graph_ops.greedy_cut(weighted, max_num_cls, n)
+        levels, _ = graph_ops.kahn_levels(sequential)
+
+        # ---- obstacle families (shared across vehicles) -------------------
+        # family 0: this step's already-planned predicted areas [N, Hp, VO, 2]
+        # family 1: parallel-coupling avoidance: reachable sets OR delayed
+        #           previous trajectories
+        # family 2: successors' standstill areas (broadcast over Hp)
+        rs_padded = pad_polys_to_vo(reachable_sets)      # [N, Hp, VO, 2]
+        prev_shifted = _del_first_rpt_last(state.prev_shapes, axis=1)
+        parallel_polys = (
+            rs_padded if use_reachability else prev_shifted
+        )
+        standstill = jnp.broadcast_to(
+            pad_polys_to_vo(occupied_offset)[:, None], (n, hp, VO, 2)
+        )
+
+        # masks [N(planning vehicle), N(obstacle vehicle)]
+        not_self = ~jnp.eye(n, dtype=bool)
+        seq_pred = sequential.T & not_self               # j seq-predecessor of v
+        par_pred = (directed.T & ~sequential.T) & not_self
+        if not use_reachability:
+            par_pred = par_pred & state.prev_valid[None, :]
+        if successor_mode == ConstraintFromSuccessor.area_of_standstill:
+            successor_standstill = (
+                directed
+                & (mpa.trim_speed[state.trim] < STANDSTILL_SPEED)[None, :]
+                & not_self
+            )
+        else:
+            # ``none``; area_of_previous_trajectory handled as delayed
+            # trajectories of successors
+            successor_standstill = jnp.zeros((n, n), dtype=bool)
+        if successor_mode == ConstraintFromSuccessor.area_of_previous_trajectory:
+            succ_prev = directed & state.prev_valid[None, :] & not_self
+        else:
+            succ_prev = jnp.zeros((n, n), dtype=bool)
+
+        # ---- level-by-level planning -------------------------------------
+        planned0 = search.PlanResult(
+            trims=jnp.zeros((n, hp), dtype=jnp.int32),
+            poses=jnp.zeros((n, hp, 3)),
+            shapes=jnp.zeros((n, hp, mpa.area.shape[-2], 2)),
+            cost=jnp.zeros((n,)),
+            is_exhausted=jnp.zeros((n,), dtype=bool),
+            n_expanded=jnp.zeros((n,), dtype=jnp.int32),
+        )
+        planned_shapes0 = jnp.zeros((n, hp, VO, 2))
+        max_level = jnp.max(levels)
+
+        def level_body(carry):
+            level, planned, planned_shapes = carry
+            # obstacles: planned shapes + parallel + standstill (+ succ prev)
+            obs_polys = jnp.concatenate(
+                [planned_shapes, parallel_polys, standstill, prev_shifted],
+                axis=0,
+            )                                            # [4N, Hp, VO, 2]
+            obs_mask = jnp.concatenate(
+                [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
+            )                                            # [N, 4N]
+
+            def plan_v(pose, trim, ref_p, vr, mask):
+                obstacles = Obstacles(
+                    polys=obs_polys,
+                    mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
+                )
+                return search.plan_trajectory(
+                    mpa, pose, trim, ref_p, vr, obstacles, dt, cfg.beam_width
+                )
+
+            result = jax.vmap(plan_v)(
+                state.pose, state.trim, ref_points, v_ref, obs_mask
+            )
+
+            at_level = levels == level
+
+            def sel(new, old):
+                mask = at_level.reshape((n,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            planned = jax.tree.map(sel, result, planned)
+            planned_shapes = jnp.where(
+                at_level[:, None, None, None],
+                pad_polys_to_vo(result.shapes),
+                planned_shapes,
+            )
+            return (level + 1, planned, planned_shapes)
+
+        def level_cond(carry):
+            return carry[0] <= max_level
+
+        _, planned, planned_shapes = jax.lax.while_loop(
+            level_cond,
+            level_body,
+            (jnp.array(1, dtype=jnp.int32), planned0, planned_shapes0),
+        )
+
+        # ---- exhaustion handling -----------------------------------------
+        # A standstill vehicle whose search exhausts stays put without
+        # fallback (handle_graph_search_exhaustion,
+        # PrioritizedController.m:568-621).
+        at_standstill = mpa.trim_speed[state.trim] == 0.0
+        stay_still_ok = (
+            planned.is_exhausted
+            & at_standstill
+            & (successor_mode != ConstraintFromSuccessor.none)
+        )
+        ss_poses = jnp.broadcast_to(state.pose[:, None, :], (n, hp, 3))
+        ss_trims = jnp.broadcast_to(state.trim[:, None], (n, hp))
+        ss_shapes = jnp.broadcast_to(
+            pad_polys_to_vo(occupied_no_offset)[:, None], (n, hp, VO, 2)
+        )
+        ss_cost = jnp.sum(
+            jnp.sum((ss_poses[..., :2] - ref_points) ** 2, axis=-1), axis=-1
+        )
+
+        needs_fallback_own = planned.is_exhausted & ~stay_still_ok
+        fallbacks = graph_ops.fallback_closure(
+            needs_fallback_own, adjacency, sequential
+        )
+
+        # fallback plan: previous plan shifted by one, last repeated
+        # (plan_fallback, :678-718); without a previous plan: stand still
+        fb_poses = _del_first_rpt_last(state.prev_poses, axis=1)
+        fb_trims = _del_first_rpt_last(state.prev_trims, axis=1)
+        fb_shapes = prev_shifted
+        fb_cost = jnp.sum(
+            jnp.sum((fb_poses[..., :2] - ref_points) ** 2, axis=-1), axis=-1
+        )
+        use_prev = state.prev_valid
+        fb_poses = jnp.where(use_prev[:, None, None], fb_poses, ss_poses)
+        fb_trims = jnp.where(use_prev[:, None], fb_trims, ss_trims)
+        fb_shapes = jnp.where(
+            use_prev[:, None, None, None], fb_shapes, ss_shapes
+        )
+        fb_cost = jnp.where(use_prev, fb_cost, ss_cost)
+
+        def choose(planned_v, ss_v, fb_v, extra_dims):
+            shape = (n,) + (1,) * extra_dims
+            use_fb = fallbacks.reshape(shape)
+            use_ss = (stay_still_ok & ~fallbacks).reshape(shape)
+            return jnp.where(
+                use_fb, fb_v, jnp.where(use_ss, ss_v, planned_v)
+            )
+
+        final_poses = choose(planned.poses, ss_poses, fb_poses, 2)
+        final_trims = choose(planned.trims, ss_trims, fb_trims, 1)
+        final_shapes = choose(planned_shapes, ss_shapes, fb_shapes, 3)
+        final_cost = choose(planned.cost, ss_cost, fb_cost, 0)
+
+        # ---- apply (Simulation.apply, plant/Simulation.m:86-117) ----------
+        new_state = StepState(
+            pose=final_poses[:, 0],
+            trim=final_trims[:, 0].astype(jnp.int32),
+            prev_poses=final_poses,
+            prev_trims=final_trims.astype(jnp.int32),
+            prev_shapes=final_shapes,
+            prev_valid=jnp.ones((n,), dtype=bool),
+        )
+        info = StepInfo(
+            poses=final_poses,
+            trims=final_trims.astype(jnp.int32),
+            shapes=final_shapes,
+            cost=final_cost,
+            needs_fallback=fallbacks,
+            is_exhausted=planned.is_exhausted,
+            n_expanded=planned.n_expanded,
+            adjacency=adjacency,
+            directed_coupling=directed,
+            directed_sequential=sequential,
+            levels=levels,
+            priorities=priorities,
+            reference_points=ref_points,
+        )
+        return new_state, info
+
+    return step
+
+
+def _del_first_rpt_last(arr: jax.Array, axis: int) -> jax.Array:
+    """Shift along ``axis`` dropping the first entry and repeating the last.
+
+    Reference: utility/del_first_rpt_last.m (used by fallback and delayed
+    trajectories).
+    """
+    first = jax.lax.slice_in_dim(arr, 1, arr.shape[axis], axis=axis)
+    last = jax.lax.slice_in_dim(
+        arr, arr.shape[axis] - 1, arr.shape[axis], axis=axis
+    )
+    return jnp.concatenate([first, last], axis=axis)
+
+
+def make_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors):
+    """Receding-horizon experiment: ``run(state0) -> (final_state, infos)``.
+
+    The reference's main_control_loop (HighLevelController.m:334-373) as a
+    ``lax.scan`` over k_end steps; infos are stacked per step (the
+    ExperimentResult capability).
+    """
+    step = make_prioritized_step(cfg, mpa, scenario)
+
+    def run(state: StepState):
+        return jax.lax.scan(
+            step, state, jnp.arange(cfg.k_end, dtype=jnp.int32)
+        )
+
+    return run

@@ -301,10 +301,12 @@ def sample_path_at_arclength(path, arcs, cumlen=None, is_loop=True):
     if cumlen is None:
         cumlen = path_cumlen(path)
     total = cumlen[-1]
-    if is_loop:
-        s = jnp.mod(arcs, total)
-    else:
-        s = jnp.clip(arcs, 0.0, total)
+    # is_loop may be a traced bool (per-vehicle scenario data)
+    s = jnp.where(
+        jnp.asarray(is_loop),
+        jnp.mod(arcs, total),
+        jnp.clip(arcs, 0.0, total),
+    )
     idx = jnp.clip(jnp.searchsorted(cumlen, s, side="right") - 1, 0,
                    path.shape[0] - 2)
     seg_start = cumlen[idx]

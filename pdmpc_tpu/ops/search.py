@@ -1,0 +1,273 @@
+"""Batched trim-lattice trajectory search — the optimizer layer.
+
+TPU-native re-design of the reference's A* graph search
+(hlc/optimizer/graph_search/GraphSearch.m + expand_node.m + the C++ MEX
+priority queue, priority_queue_interface_mex.cpp): instead of popping one
+node at a time from a heap and lazily evaluating its edge, the whole frontier
+is expanded **layer by layer** over the horizon. At each layer every
+(beam-node x successor-trim) candidate is cost-evaluated and collision-masked
+in one batched computation, then the best ``beam_width`` candidates survive
+(``lax.top_k``). With a beam at least as wide as the reachable frontier the
+search is exhaustive and returns the same optimum as A* run to completion
+(identical g/h definitions, expand_node.m:61-73); a narrower beam prunes by
+the same f = g + h ordering A* uses.
+
+The ordered-expansion capability of the MEX heap is subsumed by dense top-k
+over the frontier — a shape the MXU/VPU execute at full rate, with no
+data-dependent control flow.
+
+All functions are jittable and vmap over vehicles/scenarios.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pdmpc_tpu.models.mpa import MpaTensors
+
+# Obstacle polygons are padded to a common vertex count.
+VO = 16
+
+
+class Obstacles(NamedTuple):
+    """Per-step dynamic obstacles for one planning vehicle.
+
+    ``polys``: [n_obs, Hp, VO, 2] — polygon of obstacle o at prediction step
+    k (static obstacles are broadcast over Hp by the caller).
+    ``mask``: [n_obs, Hp] — False entries are ignored.
+    Assembled by the controller from predecessors' predicted areas, parallel
+    vehicles' reachable sets, and successors' standstill areas (the
+    capability of get_all_obstacles.m / vectorize_all_obstacles.m).
+    """
+
+    polys: jax.Array
+    mask: jax.Array
+
+
+def pad_polys_to_vo(polys: jax.Array) -> jax.Array:
+    """Pad polygons [..., V, 2] to [..., VO, 2] by repeating the last vertex."""
+    v = polys.shape[-2]
+    if v == VO:
+        return polys
+    assert v < VO, f"polygon vertex count {v} exceeds VO={VO}"
+    last = polys[..., -1:, :]
+    reps = jnp.broadcast_to(
+        last, (*polys.shape[:-2], VO - v, 2)
+    )
+    return jnp.concatenate([polys, reps], axis=-2)
+
+
+class PlanResult(NamedTuple):
+    trims: jax.Array        # [Hp] i32 — predicted trims (first entry = step 1)
+    poses: jax.Array        # [Hp, 3] f32 — predicted poses (x, y, yaw)
+    shapes: jax.Array       # [Hp, V, 2] f32 — swept occupied areas (offset)
+    cost: jax.Array         # [] f32 — accumulated g of the chosen leaf
+    is_exhausted: jax.Array  # [] bool — no feasible leaf found
+    n_expanded: jax.Array   # [] i32 — feasible candidates over all layers
+
+
+def _sat_separates_batch(man_polys, obs_polys):
+    """SAT separation test for batched candidate/obstacle polygon pairs.
+
+    man_polys: [..., VA, 2]; obs_polys: [..., VB, 2] (broadcastable batch
+    dims). Returns [...] bool, True where the polygons are separated.
+    Axes come from both polygons; degenerate (repeated-vertex) edges produce
+    zero axes which never separate. Reference: intersect_sat.m.
+    """
+    def axes_of(p):
+        e = jnp.roll(p, -1, axis=-2) - p
+        ax = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)
+        n = jnp.linalg.norm(ax, axis=-1, keepdims=True)
+        return ax / jnp.maximum(n, 1e-9)
+
+    def separated_on(axes, a, b):
+        pa = jnp.einsum("...kd,...vd->...kv", axes, a)
+        pb = jnp.einsum("...kd,...vd->...kv", axes, b)
+        d1 = jnp.min(pa, axis=-1) - jnp.max(pb, axis=-1)
+        d2 = jnp.min(pb, axis=-1) - jnp.max(pa, axis=-1)
+        return jnp.any((d1 > 0) | (d2 > 0), axis=-1)
+
+    return separated_on(axes_of(man_polys), man_polys, obs_polys) | (
+        separated_on(axes_of(obs_polys), man_polys, obs_polys)
+    )
+
+
+def candidate_collisions(man_polys, obs_polys, obs_mask):
+    """Collision mask of candidate swept areas against masked obstacles.
+
+    man_polys: [C, VA, 2] candidate polygons (already in world frame)
+    obs_polys: [n_obs, VB, 2]; obs_mask: [n_obs]
+    Returns [C] bool — True where the candidate hits any active obstacle.
+
+    This is the hot inner loop of the framework (the eval_edge_exact
+    capability, GraphSearch.m:111-196).
+    """
+    sep = _sat_separates_batch(
+        man_polys[:, None, :, :], obs_polys[None, :, :, :]
+    )  # [C, n_obs]
+    hit = (~sep) & obs_mask[None, :]
+    return jnp.any(hit, axis=-1)
+
+
+def _cost_to_go(pos, ref_points, v_ref, k_child, dt):
+    """Admissible cost-to-go. Reference: expand_node.m:63-73.
+
+    pos: [..., 2] candidate positions after step ``k_child`` (0-based).
+    For each future step i > k_child: h += max(0, |pos - ref_i| - d_max_i)^2
+    with d_max_i the maximum distance travelable until step i.
+    """
+    hp = ref_points.shape[0]
+    steps = jnp.arange(hp)
+    future = steps > k_child                                  # [Hp]
+    # d_max at future step i: sum_{t=k_child+1..i} dt * v_ref[t]
+    dv = jnp.where(future, dt * v_ref, 0.0)
+    d_max = jnp.cumsum(dv)                                    # [Hp]
+    dist = jnp.linalg.norm(
+        pos[..., None, :] - ref_points, axis=-1
+    )                                                         # [..., Hp]
+    short = jnp.maximum(0.0, dist - d_max)
+    return jnp.sum(jnp.where(future, short**2, 0.0), axis=-1)
+
+
+def plan_trajectory(
+    mpa: MpaTensors,
+    x0: jax.Array,            # [3] pose (x, y, yaw)
+    trim0: jax.Array,         # [] i32
+    ref_points: jax.Array,    # [Hp, 2]
+    v_ref: jax.Array,         # [Hp]
+    obstacles: Obstacles,
+    dt: float,
+    beam_width: int,
+) -> PlanResult:
+    """Plan one vehicle's Hp-step trajectory through the trim lattice."""
+    n = mpa.n_trims
+    hp = mpa.Hp
+    b = beam_width
+    va = mpa.area.shape[-2]
+
+    # Beam state; slot 0 starts as the root, everything else invalid.
+    pose0 = jnp.tile(x0[None, :], (b, 1))
+    trim_b = jnp.full((b,), trim0, dtype=jnp.int32)
+    g0 = jnp.zeros((b,))
+    valid0 = jnp.zeros((b,), dtype=bool).at[0].set(True)
+
+    obs_polys_by_step = jnp.moveaxis(obstacles.polys, 1, 0)   # [Hp, n_obs, VO, 2]
+    obs_mask_by_step = jnp.moveaxis(obstacles.mask, 1, 0)     # [Hp, n_obs]
+
+    def layer(carry, xs):
+        pose, trim, g, valid, n_expanded = carry
+        k, trans_k, obs_polys, obs_mask = xs
+
+        # --- expansion: every (beam node, successor trim) pair -----------
+        allowed = trans_k[trim]                               # [B, n]
+        c = jnp.cos(pose[:, 2])[:, None]                      # [B, 1]
+        s = jnp.sin(pose[:, 2])[:, None]
+        mdx = mpa.dx[trim]                                    # [B, n]
+        mdy = mpa.dy[trim]
+        child_x = c * mdx - s * mdy + pose[:, 0:1]
+        child_y = s * mdx + c * mdy + pose[:, 1:2]
+        child_yaw = pose[:, 2:3] + mpa.dyaw[trim]
+        child_pos = jnp.stack([child_x, child_y], axis=-1)    # [B, n, 2]
+
+        # --- costs (expand_node.m:61-73) ---------------------------------
+        g_child = g[:, None] + jnp.sum(
+            (child_pos - ref_points[k]) ** 2, axis=-1
+        )
+        h_child = _cost_to_go(child_pos, ref_points, v_ref, k, dt)
+
+        # --- collision mask (eval_edge_exact capability) ------------------
+        areas = mpa.area[trim]                                # [B, n, VA, 2]
+        ax = (
+            c[:, :, None] * areas[..., 0]
+            - s[:, :, None] * areas[..., 1] + pose[:, 0:1, None]
+        )
+        ay = (
+            s[:, :, None] * areas[..., 0]
+            + c[:, :, None] * areas[..., 1] + pose[:, 1:2, None]
+        )
+        man_world = jnp.stack([ax, ay], axis=-1)              # [B, n, VA, 2]
+        man_padded = pad_polys_to_vo(man_world.reshape(b * n, va, 2))
+        collide = candidate_collisions(
+            man_padded, obs_polys, obs_mask
+        ).reshape(b, n)
+
+        feasible = valid[:, None] & allowed & ~collide        # [B, n]
+        n_expanded = n_expanded + jnp.sum(feasible)
+
+        # --- top-k pruning (replaces the MEX priority queue) -------------
+        score = jnp.where(feasible, g_child + h_child, jnp.inf)
+        flat_score = score.reshape(b * n)
+        neg_top, flat_idx = jax.lax.top_k(-flat_score, b)
+        parent = flat_idx // n                                # [B]
+        child_trim = (flat_idx % n).astype(jnp.int32)
+        new_valid = neg_top > -jnp.inf
+
+        new_pose = jnp.stack(
+            [
+                child_x.reshape(-1)[flat_idx],
+                child_y.reshape(-1)[flat_idx],
+                child_yaw.reshape(-1)[flat_idx],
+            ],
+            axis=-1,
+        )
+        new_g = g_child.reshape(-1)[flat_idx]
+
+        out = (new_pose, child_trim, parent, new_valid)
+        return (new_pose, child_trim, new_g, new_valid, n_expanded), out
+
+    ks = jnp.arange(hp)
+    (pose_f, trim_f, g_f, valid_f, n_expanded), layers = jax.lax.scan(
+        layer,
+        (pose0, trim_b, g0, valid0, jnp.array(0, dtype=jnp.int32)),
+        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step),
+    )
+    del pose_f, trim_f
+    poses_l, trims_l, parents_l, valid_l = layers             # [Hp, B, ...]
+    del valid_l
+
+    # --- leaf selection: min g among valid leaves (h = 0 at depth Hp) ----
+    leaf_score = jnp.where(valid_f, g_f, jnp.inf)
+    best_leaf = jnp.argmin(leaf_score)
+    is_exhausted = ~jnp.any(valid_f)
+    cost = leaf_score[best_leaf]
+
+    # --- backtracking over stored parent pointers ------------------------
+    def back(i, carry):
+        idx, trims, poses, parents_out = carry
+        layer_i = hp - 1 - i
+        trims = trims.at[layer_i].set(trims_l[layer_i, idx])
+        poses = poses.at[layer_i].set(poses_l[layer_i, idx])
+        parents_out = parents_out.at[layer_i].set(idx)
+        return (parents_l[layer_i, idx], trims, poses, parents_out)
+
+    init = (
+        best_leaf,
+        jnp.zeros((hp,), dtype=jnp.int32),
+        jnp.zeros((hp, 3)),
+        jnp.zeros((hp,), dtype=jnp.int32),
+    )
+    _, trims_path, poses_path, _ = jax.lax.fori_loop(0, hp, back, init)
+
+    # --- occupied swept areas along the chosen path ----------------------
+    parent_poses = jnp.concatenate([x0[None, :], poses_path[:-1]], axis=0)
+    parent_trims = jnp.concatenate(
+        [trim0[None].astype(jnp.int32), trims_path[:-1]], axis=0
+    )
+    areas = mpa.area[parent_trims, trims_path]                # [Hp, VA, 2]
+    c = jnp.cos(parent_poses[:, 2])[:, None]
+    s = jnp.sin(parent_poses[:, 2])[:, None]
+    sx = c * areas[..., 0] - s * areas[..., 1] + parent_poses[:, 0:1]
+    sy = s * areas[..., 0] + c * areas[..., 1] + parent_poses[:, 1:2]
+    shapes = jnp.stack([sx, sy], axis=-1)
+
+    return PlanResult(
+        trims=trims_path,
+        poses=poses_path,
+        shapes=shapes,
+        cost=cost,
+        is_exhausted=is_exhausted,
+        n_expanded=n_expanded,
+    )
