@@ -1,0 +1,129 @@
+"""End-to-end controller tests on the circle scenario.
+
+Mirrors the role of the reference's system tests
+(tests/systemtests/systemtests.m): run the full receding-horizon loop on a
+small scenario and check trajectory-level properties (progress, collision
+freedom, determinism).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdmpc_tpu.config import Config, PriorityStrategies, ScenarioType
+from pdmpc_tpu.experiment import is_deadlock, run_experiment
+from pdmpc_tpu.models.bicycle import VEHICLE_LENGTH, VEHICLE_WIDTH
+from pdmpc_tpu.ops import geometry as geo
+
+
+def make_cfg(**kw):
+    defaults = dict(
+        scenario_type=ScenarioType.circle,
+        amount=2,
+        T_end=4.0,
+        beam_width=128,
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def pairwise_vehicle_collisions(result):
+    """Check occupied rectangles (no offset) of applied poses pairwise."""
+    poses = np.asarray(result.infos.poses)[:, :, 0]   # [k, N, 3]
+    k_end, n = poses.shape[:2]
+    collisions = []
+    for k in range(k_end):
+        for i in range(n):
+            for j in range(i + 1, n):
+                if np.linalg.norm(poses[k, i, :2] - poses[k, j, :2]) > 0.5:
+                    continue
+                ri = geo.transformed_rectangle(
+                    poses[k, i, 0], poses[k, i, 1], poses[k, i, 2],
+                    VEHICLE_LENGTH, VEHICLE_WIDTH,
+                )
+                rj = geo.transformed_rectangle(
+                    poses[k, j, 0], poses[k, j, 1], poses[k, j, 2],
+                    VEHICLE_LENGTH, VEHICLE_WIDTH,
+                )
+                if bool(geo.sat_collide(ri, rj)):
+                    collisions.append((k, i, j))
+    return collisions
+
+
+class TestSingleVehicle:
+    def test_follows_reference(self):
+        cfg = make_cfg(amount=1, T_end=2.0)
+        res = run_experiment(cfg)
+        poses = np.asarray(res.infos.poses)[:, 0, 0]   # [k, 3]
+        # vehicle starts at (0.25, 2, 0) and drives toward +x
+        assert poses[-1, 0] > poses[0, 0] + 0.5
+        # stays on the straight path
+        np.testing.assert_allclose(poses[:, 1], 2.0, atol=0.05)
+        # never needs fallback in free space
+        assert not np.asarray(res.infos.needs_fallback).any()
+        # reaches max speed (travels ~0.16 m per step once up to speed)
+        dx = np.diff(poses[:, 0])
+        assert dx[-1] == pytest.approx(0.16, abs=0.02)
+
+
+class TestTwoVehiclesHeadOn:
+    @pytest.fixture(scope="class")
+    def result(self):
+        return run_experiment(make_cfg())
+
+    def test_no_collisions(self, result):
+        assert pairwise_vehicle_collisions(result) == []
+
+    def test_coupling_appears(self, result):
+        adjacency = np.asarray(result.infos.adjacency)
+        # vehicles start 4 m apart -> uncoupled; they are coupled later
+        assert not adjacency[0].any()
+        assert adjacency.any()
+
+    def test_progress(self, result):
+        poses = np.asarray(result.infos.poses)[:, :, 0]
+        # vehicle 0 heads +x from 0.25; vehicle 1 heads -x from 4.25
+        assert poses[-1, 0, 0] > 1.0
+        assert poses[-1, 1, 0] < 3.5
+
+    def test_priorities_and_levels(self, result):
+        levels = np.asarray(result.infos.levels)
+        assert levels.min() >= 1
+        # when coupled, two levels exist (constant priority -> sequential)
+        adjacency = np.asarray(result.infos.adjacency)
+        coupled_steps = adjacency.any(axis=(1, 2))
+        assert (levels[coupled_steps].max(axis=-1) == 2).any()
+
+    def test_determinism(self, result):
+        res2 = run_experiment(make_cfg())
+        np.testing.assert_array_equal(
+            np.asarray(result.infos.poses), np.asarray(res2.infos.poses)
+        )
+
+
+class TestStrategies:
+    @pytest.mark.parametrize(
+        "priority",
+        [PriorityStrategies.random_priority, PriorityStrategies.coloring_priority],
+    )
+    def test_alternative_priorities_no_collision(self, priority):
+        res = run_experiment(make_cfg(priority=priority, T_end=3.0))
+        assert pairwise_vehicle_collisions(res) == []
+
+    def test_no_deadlock_two_vehicles(self):
+        res = run_experiment(make_cfg(T_end=4.0))
+        assert not is_deadlock(res.infos, res.options).any()
+
+
+class TestResultPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        res = run_experiment(make_cfg(amount=1, T_end=1.0))
+        base = res.save(str(tmp_path))
+        from pdmpc_tpu.experiment import ExperimentResult
+
+        loaded = ExperimentResult.load(base)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.infos.poses), np.asarray(res.infos.poses)
+        )
+        assert loaded.options.isequal(res.options)
