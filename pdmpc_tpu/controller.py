@@ -277,12 +277,22 @@ def _weigh(cfg: Config, directed, poses, k, max_mpa_speed):
 
 
 def make_prioritized_step(cfg: Config, mpa: MpaTensors,
-                          scenario: ScenarioTensors):
+                          scenario: ScenarioTensors, comm_factory=None):
     """Build the jittable per-step function ``step(state, k) -> (state, info)``.
 
     Strategy selectors are static (baked at trace time), mirroring how the
     reference wires strategy objects once in the factory (HlcFactory.m).
+
+    ``comm_factory`` selects the communication backend (parallel/comm.py):
+    the default :class:`LocalComm` runs all vehicles in one program (the
+    PrioritizedSequentialController semantics); a :class:`MeshComm` factory
+    makes the same step run vehicle-sharded inside ``shard_map``, where the
+    traffic broadcast and per-level prediction exchange become
+    ``all_gather`` collectives over ICI (the reference's ROS 2 topics,
+    SURVEY §2.7). State arrays then hold only the local vehicle block.
     """
+    from pdmpc_tpu.parallel.comm import LocalComm
+
     n = scenario.n_vehicles
     hp = mpa.Hp
     dt = cfg.dt_seconds
@@ -290,45 +300,62 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     max_num_cls = min(cfg.max_num_CLs, n)
     use_reachability = cfg.isDealPredictionInconsistency
     successor_mode = cfg.constraint_from_successor
+    if comm_factory is None:
+        comm_factory = lambda: LocalComm(n)  # noqa: E731
 
     def step(state: StepState, k: jax.Array):
-        # ---- traffic info ------------------------------------------------
+        comm = comm_factory()
+        nl = comm.n_local
+        gidx = comm.global_indices()
+
+        # ---- local traffic info ------------------------------------------
         ref_points, v_ref = jax.vmap(
             lambda i, p, t: _reference_trajectory_single(
                 mpa, scenario, i, p, t, dt
             )
-        )(jnp.arange(n), state.pose, state.trim)
+        )(gidx, state.pose, state.trim)
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
-        )(state.pose)                                    # [N, 4, 2]
+        )(state.pose)                                    # [nl, 4, 2]
         occupied_no_offset = jax.vmap(
             lambda p: _occupied_area(p, 0.0)
         )(state.pose)
 
         reachable_sets = jax.vmap(
             lambda p, t: _reachable_sets_at_pose(mpa, p, t)
-        )(state.pose, state.trim)                        # [N, Hp, K, 2]
+        )(state.pose, state.trim)                        # [nl, Hp, K, 2]
 
-        # ---- coupling graph ---------------------------------------------
-        adjacency = _couple(cfg, reachable_sets, state.pose, max_mpa_speed)
-        priorities, directed = _prioritize(cfg, adjacency, ref_points, k)
-        weighted = _weigh(cfg, directed, state.pose, k, max_mpa_speed)
+        # ---- traffic exchange (the Traffic-topic all_gather + barrier) ---
+        pose_g = comm.gather_veh(state.pose)
+        trim_g = comm.gather_veh(state.trim)
+        rs_g = comm.gather_veh(reachable_sets)
+        ref_points_g = comm.gather_veh(ref_points)
+        occupied_offset_g = comm.gather_veh(occupied_offset)
+        prev_shapes_g = comm.gather_veh(state.prev_shapes)
+        prev_valid_g = comm.gather_veh(state.prev_valid)
+
+        # ---- coupling graph (replicated: same inputs on every shard) -----
+        adjacency = _couple(cfg, rs_g, pose_g, max_mpa_speed)
+        priorities, directed = _prioritize(cfg, adjacency, ref_points_g, k)
+        weighted = _weigh(cfg, directed, pose_g, k, max_mpa_speed)
         sequential = graph_ops.greedy_cut(weighted, max_num_cls, n)
         levels, _ = graph_ops.kahn_levels(sequential)
+        levels_l = comm.local_slice(levels)
 
-        # ---- obstacle families (shared across vehicles) -------------------
+        # ---- obstacle families (global, shared across vehicles) ----------
         # family 0: this step's already-planned predicted areas [N, Hp, VO, 2]
         # family 1: parallel-coupling avoidance: reachable sets OR delayed
         #           previous trajectories
         # family 2: successors' standstill areas (broadcast over Hp)
-        rs_padded = pad_polys_to_vo(reachable_sets)      # [N, Hp, VO, 2]
-        prev_shifted = _del_first_rpt_last(state.prev_shapes, axis=1)
+        # family 3: delayed previous trajectories (successor mode)
+        rs_padded = pad_polys_to_vo(rs_g)                # [N, Hp, VO, 2]
+        prev_shifted = _del_first_rpt_last(prev_shapes_g, axis=1)
         parallel_polys = (
             rs_padded if use_reachability else prev_shifted
         )
         standstill = jnp.broadcast_to(
-            pad_polys_to_vo(occupied_offset)[:, None], (n, hp, VO, 2)
+            pad_polys_to_vo(occupied_offset_g)[:, None], (n, hp, VO, 2)
         )
 
         # masks [N(planning vehicle), N(obstacle vehicle)]
@@ -336,44 +363,44 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         seq_pred = sequential.T & not_self               # j seq-predecessor of v
         par_pred = (directed.T & ~sequential.T) & not_self
         if not use_reachability:
-            par_pred = par_pred & state.prev_valid[None, :]
+            par_pred = par_pred & prev_valid_g[None, :]
         if successor_mode == ConstraintFromSuccessor.area_of_standstill:
             successor_standstill = (
                 directed
-                & (mpa.trim_speed[state.trim] < STANDSTILL_SPEED)[None, :]
+                & (mpa.trim_speed[trim_g] < STANDSTILL_SPEED)[None, :]
                 & not_self
             )
         else:
-            # ``none``; area_of_previous_trajectory handled as delayed
-            # trajectories of successors
             successor_standstill = jnp.zeros((n, n), dtype=bool)
         if successor_mode == ConstraintFromSuccessor.area_of_previous_trajectory:
-            succ_prev = directed & state.prev_valid[None, :] & not_self
+            succ_prev = directed & prev_valid_g[None, :] & not_self
         else:
             succ_prev = jnp.zeros((n, n), dtype=bool)
 
+        obs_mask_all = jnp.concatenate(
+            [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
+        )                                                # [N, 4N]
+        obs_mask_l = comm.local_slice(obs_mask_all)      # [nl, 4N]
+
         # ---- level-by-level planning -------------------------------------
         planned0 = search.PlanResult(
-            trims=jnp.zeros((n, hp), dtype=jnp.int32),
-            poses=jnp.zeros((n, hp, 3)),
-            shapes=jnp.zeros((n, hp, mpa.area.shape[-2], 2)),
-            cost=jnp.zeros((n,)),
-            is_exhausted=jnp.zeros((n,), dtype=bool),
-            n_expanded=jnp.zeros((n,), dtype=jnp.int32),
+            trims=jnp.zeros((nl, hp), dtype=jnp.int32),
+            poses=jnp.zeros((nl, hp, 3)),
+            shapes=jnp.zeros((nl, hp, mpa.area.shape[-2], 2)),
+            cost=jnp.zeros((nl,)),
+            is_exhausted=jnp.zeros((nl,), dtype=bool),
+            n_expanded=jnp.zeros((nl,), dtype=jnp.int32),
         )
         planned_shapes0 = jnp.zeros((n, hp, VO, 2))
         max_level = jnp.max(levels)
 
         def level_body(carry):
             level, planned, planned_shapes = carry
-            # obstacles: planned shapes + parallel + standstill (+ succ prev)
+            # obstacles: planned shapes + parallel + standstill + delayed
             obs_polys = jnp.concatenate(
                 [planned_shapes, parallel_polys, standstill, prev_shifted],
                 axis=0,
             )                                            # [4N, Hp, VO, 2]
-            obs_mask = jnp.concatenate(
-                [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
-            )                                            # [N, 4N]
 
             def plan_v(pose, trim, ref_p, vr, mask):
                 obstacles = Obstacles(
@@ -385,31 +412,35 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 )
 
             result = jax.vmap(plan_v)(
-                state.pose, state.trim, ref_points, v_ref, obs_mask
+                state.pose, state.trim, ref_points, v_ref, obs_mask_l
             )
 
-            at_level = levels == level
+            at_level = levels_l == level
 
             def sel(new, old):
-                mask = at_level.reshape((n,) + (1,) * (new.ndim - 1))
+                mask = at_level.reshape((nl,) + (1,) * (new.ndim - 1))
                 return jnp.where(mask, new, old)
 
             planned = jax.tree.map(sel, result, planned)
-            planned_shapes = jnp.where(
+            # publish predictions: update local rows, then exchange
+            # (the per-level Predictions all_gather over ICI)
+            local_shapes = jnp.where(
                 at_level[:, None, None, None],
                 pad_polys_to_vo(result.shapes),
-                planned_shapes,
+                comm.local_slice(planned_shapes),
             )
+            planned_shapes = comm.gather_veh(local_shapes)
             return (level + 1, planned, planned_shapes)
 
         def level_cond(carry):
             return carry[0] <= max_level
 
-        _, planned, planned_shapes = jax.lax.while_loop(
+        _, planned, planned_shapes_g = jax.lax.while_loop(
             level_cond,
             level_body,
             (jnp.array(1, dtype=jnp.int32), planned0, planned_shapes0),
         )
+        planned_shapes = comm.local_slice(planned_shapes_g)
 
         # ---- exhaustion handling -----------------------------------------
         # A standstill vehicle whose search exhausts stays put without
@@ -421,25 +452,28 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             & at_standstill
             & (successor_mode != ConstraintFromSuccessor.none)
         )
-        ss_poses = jnp.broadcast_to(state.pose[:, None, :], (n, hp, 3))
-        ss_trims = jnp.broadcast_to(state.trim[:, None], (n, hp))
+        ss_poses = jnp.broadcast_to(state.pose[:, None, :], (nl, hp, 3))
+        ss_trims = jnp.broadcast_to(state.trim[:, None], (nl, hp))
         ss_shapes = jnp.broadcast_to(
-            pad_polys_to_vo(occupied_no_offset)[:, None], (n, hp, VO, 2)
+            pad_polys_to_vo(occupied_no_offset)[:, None], (nl, hp, VO, 2)
         )
         ss_cost = jnp.sum(
             jnp.sum((ss_poses[..., :2] - ref_points) ** 2, axis=-1), axis=-1
         )
 
+        # fallback propagation needs the global fallback flags (the
+        # Predictions needs_fallback field + graph reachability)
         needs_fallback_own = planned.is_exhausted & ~stay_still_ok
-        fallbacks = graph_ops.fallback_closure(
-            needs_fallback_own, adjacency, sequential
+        fallbacks_g = graph_ops.fallback_closure(
+            comm.gather_veh(needs_fallback_own), adjacency, sequential
         )
+        fallbacks = comm.local_slice(fallbacks_g)
 
         # fallback plan: previous plan shifted by one, last repeated
         # (plan_fallback, :678-718); without a previous plan: stand still
         fb_poses = _del_first_rpt_last(state.prev_poses, axis=1)
         fb_trims = _del_first_rpt_last(state.prev_trims, axis=1)
-        fb_shapes = prev_shifted
+        fb_shapes = _del_first_rpt_last(state.prev_shapes, axis=1)
         fb_cost = jnp.sum(
             jnp.sum((fb_poses[..., :2] - ref_points) ** 2, axis=-1), axis=-1
         )
@@ -452,7 +486,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         fb_cost = jnp.where(use_prev, fb_cost, ss_cost)
 
         def choose(planned_v, ss_v, fb_v, extra_dims):
-            shape = (n,) + (1,) * extra_dims
+            shape = (nl,) + (1,) * extra_dims
             use_fb = fallbacks.reshape(shape)
             use_ss = (stay_still_ok & ~fallbacks).reshape(shape)
             return jnp.where(
@@ -471,7 +505,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             prev_poses=final_poses,
             prev_trims=final_trims.astype(jnp.int32),
             prev_shapes=final_shapes,
-            prev_valid=jnp.ones((n,), dtype=bool),
+            prev_valid=jnp.ones((nl,), dtype=bool),
         )
         info = StepInfo(
             poses=final_poses,

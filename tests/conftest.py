@@ -3,17 +3,18 @@
 Multi-chip TPU hardware is not available in CI; sharded code paths are
 validated on a host-platform mesh (the JAX analogue of the reference's
 parallel_threads system tests, tests/systemtests/systemtests.m:8).
+
+Note: the environment preloads jax with JAX_PLATFORMS=axon (tunneled TPU)
+via sitecustomize, so env vars are too late here — the config API is the
+only reliable override.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
