@@ -47,6 +47,9 @@ from pdmpc_tpu.scenarios.scenario import ScenarioTensors
 STANDSTILL_SPEED = 0.01
 # Reference: ReachableSetCoupler.m:45
 COUPLING_AREA_THRESHOLD = 1e-3
+# Cap on predicted lanelets per vehicle per step (get_predicted_lanelets.m
+# yields ~2-4 lanelets at Hp=6 on the CPM map; 8 is a safe static bound)
+N_PREDICTED_LANELETS = 8
 
 
 class StepState(NamedTuple):
@@ -119,12 +122,12 @@ def _reference_trajectory_single(mpa: MpaTensors, scenario: ScenarioTensors,
 
     path = scenario.reference_paths[i]
     cumlen = scenario.path_cumlen[i]
-    s0, _, _ = geo.project_to_polyline(pose[:2], path, cumlen)
+    s0, _, proj_seg = geo.project_to_polyline(pose[:2], path, cumlen)
     arcs = s0 + jnp.cumsum(step_distances)
-    ref_points = geo.sample_path_at_arclength(
-        path, arcs, cumlen, scenario.is_loop[i]
+    ref_points, seg_idx = geo.sample_path_at_arclength(
+        path, arcs, cumlen, scenario.is_loop[i], return_indices=True
     )
-    return ref_points, v_ref
+    return ref_points, v_ref, seg_idx, proj_seg
 
 
 def _occupied_area(pose, offset):
@@ -309,11 +312,31 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         gidx = comm.global_indices()
 
         # ---- local traffic info ------------------------------------------
-        ref_points, v_ref = jax.vmap(
+        ref_points, v_ref, seg_idx, proj_seg = jax.vmap(
             lambda i, p, t: _reference_trajectory_single(
                 mpa, scenario, i, p, t, dt
             )
         )(gidx, state.pose, state.trim)
+
+        # predicted lanelets -> boundary segments (road scenarios;
+        # get_predicted_lanelets.m + get_lanelets_boundary.m capability)
+        if scenario.road is not None:
+            def boundary_for(i, seg_i, proj_i):
+                lane_of = scenario.segment_lanelet[i]
+                ids = jnp.concatenate(
+                    [lane_of[proj_i][None], lane_of[seg_i]]
+                )
+                uids = jnp.unique(ids, size=N_PREDICTED_LANELETS,
+                                  fill_value=0)
+                segs = scenario.road.boundary_segments[uids]
+                mask = scenario.road.boundary_seg_mask[uids]
+                return segs.reshape(-1, 2, 2), mask.reshape(-1)
+
+            bnd_segs, bnd_mask = jax.vmap(boundary_for)(
+                gidx, seg_idx, proj_seg
+            )
+        else:
+            bnd_segs = bnd_mask = None
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
@@ -402,18 +425,28 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 axis=0,
             )                                            # [4N, Hp, VO, 2]
 
-            def plan_v(pose, trim, ref_p, vr, mask):
+            def plan_v(pose, trim, ref_p, vr, mask, bs, bm):
                 obstacles = Obstacles(
                     polys=obs_polys,
                     mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
                 )
                 return search.plan_trajectory(
-                    mpa, pose, trim, ref_p, vr, obstacles, dt, cfg.beam_width
+                    mpa, pose, trim, ref_p, vr, obstacles, dt,
+                    cfg.beam_width,
+                    boundary_segments=bs, boundary_mask=bm,
                 )
 
-            result = jax.vmap(plan_v)(
-                state.pose, state.trim, ref_points, v_ref, obs_mask_l
-            )
+            if bnd_segs is not None:
+                result = jax.vmap(plan_v)(
+                    state.pose, state.trim, ref_points, v_ref, obs_mask_l,
+                    bnd_segs, bnd_mask,
+                )
+            else:
+                result = jax.vmap(
+                    lambda pose, trim, ref_p, vr, mask: plan_v(
+                        pose, trim, ref_p, vr, mask, None, None
+                    )
+                )(state.pose, state.trim, ref_points, v_ref, obs_mask_l)
 
             at_level = levels_l == level
 

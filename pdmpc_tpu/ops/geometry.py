@@ -292,11 +292,14 @@ def project_to_polyline(p, path, cumlen=None):
     return arc, proj[i], i
 
 
-def sample_path_at_arclength(path, arcs, cumlen=None, is_loop=True):
+def sample_path_at_arclength(path, arcs, cumlen=None, is_loop=True,
+                             return_indices=False):
     """Points on polyline ``path`` [P,2] at arc positions ``arcs`` [H].
 
     Loops wrap modulo total length (reference treats paths whose first and
     last points coincide as loops, sample_reference_trajectory.m:40).
+    With ``return_indices``, also returns the segment index of each sample
+    (used to map reference points to lanelets).
     """
     if cumlen is None:
         cumlen = path_cumlen(path)
@@ -312,4 +315,7 @@ def sample_path_at_arclength(path, arcs, cumlen=None, is_loop=True):
     seg_start = cumlen[idx]
     seg_len = jnp.maximum(cumlen[idx + 1] - seg_start, _EPS)
     t = (s - seg_start) / seg_len
-    return path[idx] + t[:, None] * (path[idx + 1] - path[idx])
+    points = path[idx] + t[:, None] * (path[idx + 1] - path[idx])
+    if return_indices:
+        return points, idx
+    return points

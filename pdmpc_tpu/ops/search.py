@@ -112,6 +112,37 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     return jnp.any(hit, axis=-1)
 
 
+def candidate_boundary_violations(man_polys, boundary_segments,
+                                  boundary_mask):
+    """True where a candidate polygon crosses any lanelet-boundary segment.
+
+    man_polys: [C, VA, 2] (closed implicitly: last->first edge included);
+    boundary_segments: [S, 2, 2]; boundary_mask: [S].
+    The segment-intersection capability of intersect_lanelet_boundary.m /
+    InterX.m used by the boundary constraint in eval_edge_exact
+    (are_constraints_satisfied_*.m). A vehicle that starts inside the
+    drivable corridor and never crosses its boundary stays inside.
+    """
+    a1 = man_polys                                   # [C, VA, 2]
+    a2 = jnp.roll(man_polys, -1, axis=-2)
+    b1 = boundary_segments[:, 0]                     # [S, 2]
+    b2 = boundary_segments[:, 1]
+
+    r = (a2 - a1)[:, :, None, :]                     # [C, VA, 1, 2]
+    s = (b2 - b1)[None, None, :, :]                  # [1, 1, S, 2]
+    qp = b1[None, None, :, :] - a1[:, :, None, :]    # [C, VA, S, 2]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
+    hit = (
+        (jnp.abs(denom) >= 1e-9)
+        & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        & boundary_mask[None, None, :]
+    )
+    return jnp.any(hit, axis=(-1, -2))               # [C]
+
+
 def _cost_to_go(pos, ref_points, v_ref, k_child, dt):
     """Admissible cost-to-go. Reference: expand_node.m:63-73.
 
@@ -141,12 +172,22 @@ def plan_trajectory(
     obstacles: Obstacles,
     dt: float,
     beam_width: int,
+    boundary_segments: jax.Array | None = None,   # [S, 2, 2]
+    boundary_mask: jax.Array | None = None,       # [S]
 ) -> PlanResult:
-    """Plan one vehicle's Hp-step trajectory through the trim lattice."""
+    """Plan one vehicle's Hp-step trajectory through the trim lattice.
+
+    When boundary segments are given (road scenarios), every candidate
+    maneuver must additionally not cross the lanelet boundary; the
+    without-offset swept area is checked (the larger-offset area at the
+    final step), matching eval_edge_exact's shapes_for_boundary_check
+    (GraphSearch.m:166-174).
+    """
     n = mpa.n_trims
     hp = mpa.Hp
     b = beam_width
     va = mpa.area.shape[-2]
+    check_boundary = boundary_segments is not None
 
     # Beam state; slot 0 starts as the root, everything else invalid.
     pose0 = jnp.tile(x0[None, :], (b, 1))
@@ -193,6 +234,27 @@ def plan_trajectory(
         collide = candidate_collisions(
             man_padded, obs_polys, obs_mask
         ).reshape(b, n)
+
+        if check_boundary:
+            # boundary areas: without offset; larger offset at final step
+            bnd_areas = jnp.where(
+                (k == hp - 1),
+                mpa.area_large_offset[trim],
+                mpa.area_no_offset[trim],
+            )                                                 # [B, n, VA, 2]
+            bx = (
+                c[:, :, None] * bnd_areas[..., 0]
+                - s[:, :, None] * bnd_areas[..., 1] + pose[:, 0:1, None]
+            )
+            by = (
+                s[:, :, None] * bnd_areas[..., 0]
+                + c[:, :, None] * bnd_areas[..., 1] + pose[:, 1:2, None]
+            )
+            bnd_world = jnp.stack([bx, by], axis=-1).reshape(b * n, va, 2)
+            crosses = candidate_boundary_violations(
+                bnd_world, boundary_segments, boundary_mask
+            ).reshape(b, n)
+            collide = collide | crosses
 
         feasible = valid[:, None] & allowed & ~collide        # [B, n]
         n_expanded = n_expanded + jnp.sum(feasible)

@@ -1,0 +1,452 @@
+"""CommonRoad road-network data: XML -> lanelet tensors.
+
+TPU-native re-design of the reference's road preprocessing pipeline
+(scenarios/road_network/lanelets/RoadDataCommonRoad.m, 877 LoC +
+RoadData.m disk cache): parse the CommonRoad XML map into numpy lanelet
+arrays, classify pairwise lanelet relationships
+(longitudinal / side / merging / forking / crossing,
+LaneletRelationshipType.m), build the lanelet adjacency matrix, and compute
+per-lanelet extended boundaries (side-adjacent / merging / forking bound
+sharing, RoadDataCommonRoad.m:259-378). Results are disk-cached like the
+reference (RoadData.m:43-82).
+
+Not reproduced from the reference (documented deviations):
+- the boundary-polyshape-overlap refinement of `adjacency_lanelets`
+  (get_adjacent_lanelets, :759) — the relationship-based adjacency is kept;
+- `update_lanelet_relationships` post-pass (:722).
+Both only tighten heuristics used by the distance coupler and HDV logic.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_MAP = os.path.join(
+    os.path.dirname(__file__), "maps", "LabMapCommonRoad.xml"
+)
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "offline_road_data")
+
+
+class RelationshipType(enum.IntEnum):
+    """Reference: LaneletRelationshipType.m"""
+
+    none = 0
+    longitudinal = 1
+    side = 2
+    merging = 3
+    forking = 4
+    crossing = 5
+
+
+@dataclass
+class Lanelet:
+    lanelet_id: int
+    left: np.ndarray       # [P, 2]
+    right: np.ndarray      # [P, 2]
+    center: np.ndarray     # [P, 2] = (left + right) / 2
+    predecessors: list[int] = field(default_factory=list)
+    successors: list[int] = field(default_factory=list)
+    adjacent_left: int = 0           # 0 = none (ids are 1-based)
+    adjacent_left_same_dir: bool = False
+    adjacent_right: int = 0
+    adjacent_right_same_dir: bool = False
+
+
+@dataclass
+class RoadData:
+    lanelets: list[Lanelet]
+    intersection_lanelets: np.ndarray      # [n_int] 1-based ids
+    relationship_type: np.ndarray          # [L+1, L+1] uint8, 1-based idx
+    relationship_point: np.ndarray         # [L+1, L+1, 2]
+    adjacency_lanelets: np.ndarray         # [L+1, L+1] bool, 1-based idx
+    boundary_left: list[np.ndarray]        # per lanelet [P, 2] (extended)
+    boundary_right: list[np.ndarray]
+    share_boundary_with: list[list[int]]
+
+    @property
+    def n_lanelets(self) -> int:
+        return len(self.lanelets)
+
+    def lanelet(self, lanelet_id: int) -> Lanelet:
+        return self.lanelets[lanelet_id - 1]
+
+
+def parse_commonroad_xml(path: str) -> tuple[list[Lanelet], np.ndarray]:
+    """Parse lanelets + intersection ids from a CommonRoad 2020a XML."""
+    root = ET.parse(path).getroot()
+    lanelets: list[Lanelet] = []
+    for el in root.findall("lanelet"):
+        def bound(tag):
+            pts = el.find(tag).findall("point")
+            return np.array(
+                [[float(p.find("x").text), float(p.find("y").text)]
+                 for p in pts]
+            )
+
+        left = bound("leftBound")
+        right = bound("rightBound")
+        assert left.shape == right.shape
+        ll = Lanelet(
+            lanelet_id=int(el.get("id")),
+            left=left,
+            right=right,
+            center=(left + right) / 2.0,
+        )
+        for p in el.findall("predecessor"):
+            ll.predecessors.append(int(p.get("ref")))
+        for s in el.findall("successor"):
+            ll.successors.append(int(s.get("ref")))
+        al = el.find("adjacentLeft")
+        if al is not None:
+            ll.adjacent_left = int(al.get("ref"))
+            ll.adjacent_left_same_dir = al.get("drivingDir") == "same"
+        ar = el.find("adjacentRight")
+        if ar is not None:
+            ll.adjacent_right = int(ar.get("ref"))
+            ll.adjacent_right_same_dir = ar.get("drivingDir") == "same"
+        lanelets.append(ll)
+
+    # ids must be consecutive 1..L (the reference indexes cells by id)
+    lanelets.sort(key=lambda x: x.lanelet_id)
+    for i, ll in enumerate(lanelets):
+        assert ll.lanelet_id == i + 1, "lanelet ids must be 1..L"
+
+    intersection: list[int] = []
+    for inter in root.findall("intersection"):
+        for inc in inter.findall("incoming"):
+            for tag in ("successorsRight", "successorsLeft",
+                        "successorsStraight"):
+                for s in inc.findall(tag):
+                    intersection.append(int(s.get("ref")))
+    return lanelets, np.array(sorted(set(intersection)), dtype=np.int64)
+
+
+def _polylines_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """First intersection point of two polylines, or None (InterX role)."""
+    a1, a2 = a[:-1], a[1:]
+    b1, b2 = b[:-1], b[1:]
+    r = a2 - a1
+    s = b2 - b1
+    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qp = b1[None, :, :] - a1[:, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[..., 0] * s[None, :, 1] - qp[..., 1] * s[None, :, 0]) / denom
+        u = (qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]) / denom
+    hit = (
+        np.isfinite(t) & np.isfinite(u)
+        & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    )
+    idx = np.argwhere(hit)
+    if idx.size == 0:
+        return None
+    i, j = idx[0]
+    return a1[i] + t[i, j] * r[i]
+
+
+def _classify_relationships(lanelets: list[Lanelet],
+                            intersection: np.ndarray):
+    """Pairwise relationship classification.
+
+    Reference: RoadDataCommonRoad.get_lanelet_relationships (:66-257).
+    Matrices are (L+1, L+1) so 1-based lanelet ids index directly.
+    """
+    n = len(lanelets)
+    rel = np.zeros((n + 1, n + 1), dtype=np.uint8)
+    pt = np.zeros((n + 1, n + 1, 2))
+    adjacency = np.zeros((n + 1, n + 1), dtype=bool)
+
+    def L(i):
+        return lanelets[i - 1]
+
+    def adj_of(ids, side):
+        out = []
+        for q in ids:
+            a = L(q).adjacent_left if side == "l" else L(q).adjacent_right
+            if a:
+                out.append(a)
+        return out
+
+    def set_rel(i, j, rtype, point):
+        lo, hi = min(i, j), max(i, j)
+        if rel[lo, hi] == RelationshipType.none:
+            rel[lo, hi] = rtype
+            pt[lo, hi] = point
+
+    in_intersection = set(int(x) for x in intersection)
+
+    for i in range(1, n):
+        li = L(i)
+        pred_adjL_i = adj_of(li.predecessors, "l")
+        pred_adjR_i = adj_of(li.predecessors, "r")
+        succ_adjL_i = adj_of(li.successors, "l")
+        succ_adjR_i = adj_of(li.successors, "r")
+
+        for j in range(i + 1, n + 1):
+            if rel[i, j] != RelationshipType.none:
+                continue
+            lj = L(j)
+            T = RelationshipType
+            if j in li.predecessors:
+                set_rel(i, j, T.longitudinal, li.center[-1])
+            elif i in lj.predecessors:
+                set_rel(i, j, T.longitudinal, lj.center[-1])
+            elif (li.adjacent_left in lj.predecessors and li.adjacent_left) \
+                    or (li.adjacent_right in lj.predecessors
+                        and li.adjacent_right):
+                set_rel(i, j, T.longitudinal, lj.center[-1])
+            elif (li.adjacent_left in lj.successors and li.adjacent_left) \
+                    or (li.adjacent_right in lj.successors
+                        and li.adjacent_right):
+                set_rel(i, j, T.longitudinal, li.center[-1])
+            elif j in pred_adjL_i:
+                set_rel(i, j, T.longitudinal, li.left[-1])
+            elif j in succ_adjL_i:
+                set_rel(i, j, T.longitudinal, lj.right[-1])
+            elif j in pred_adjR_i:
+                set_rel(i, j, T.longitudinal, li.right[-1])
+            elif j in succ_adjR_i:
+                set_rel(i, j, T.longitudinal, lj.left[-1])
+            elif li.adjacent_left == j:
+                set_rel(i, j, T.side, li.left[-1])
+            elif li.adjacent_right == j:
+                set_rel(i, j, T.side, li.right[-1])
+            elif li.adjacent_left and li.adjacent_left == lj.adjacent_right:
+                set_rel(i, j, T.side, li.left[-1])
+            elif li.adjacent_right and li.adjacent_right == lj.adjacent_left:
+                set_rel(i, j, T.side, li.left[-1])
+            elif set(li.successors) & set(lj.successors):
+                set_rel(i, j, T.merging, li.center[-1])
+                # adjacent lanelets of merging pairs are also merging
+                # (outside the intersection, :167-182)
+                for ii in [i, li.adjacent_left, li.adjacent_right]:
+                    for jj in [j, lj.adjacent_left, lj.adjacent_right]:
+                        if not ii or not jj or (ii == i and jj == j):
+                            continue
+                        if (ii in in_intersection
+                                or jj in in_intersection):
+                            continue
+                        set_rel(ii, jj, T.merging, li.center[-1])
+            elif (set(lj.successors) & set(succ_adjL_i)
+                  and not set(li.predecessors) & set(lj.predecessors)):
+                set_rel(i, j, T.merging, lj.right[-1])
+            elif (set(lj.successors) & set(succ_adjR_i)
+                  and not set(li.predecessors) & set(lj.predecessors)):
+                set_rel(i, j, T.merging, lj.left[-1])
+            elif set(li.predecessors) & set(lj.predecessors):
+                set_rel(i, j, T.forking, li.center[0])
+                for ii in [i, li.adjacent_left, li.adjacent_right]:
+                    for jj in [j, lj.adjacent_left, lj.adjacent_right]:
+                        if not ii or not jj or (ii == i and jj == j):
+                            continue
+                        if (ii in in_intersection
+                                or jj in in_intersection):
+                            continue
+                        set_rel(ii, jj, T.forking, li.center[0])
+            elif (set(lj.predecessors) & set(pred_adjL_i)
+                  and not set(li.successors) & set(lj.successors)):
+                set_rel(i, j, T.forking, lj.right[0])
+            elif (set(lj.predecessors) & set(pred_adjR_i)
+                  and not set(li.successors) & set(lj.successors)):
+                set_rel(i, j, T.forking, lj.left[0])
+            else:
+                p = _polylines_intersect(li.center, lj.center)
+                if p is not None:
+                    set_rel(i, j, T.crossing, p)
+
+    upper = np.triu(rel, 1)
+    adjacency = (upper != 0)
+    adjacency = adjacency | adjacency.T
+    np.fill_diagonal(adjacency, True)
+    adjacency[0, :] = False
+    adjacency[:, 0] = False
+    adjacency[0, 0] = False
+    return rel, pt, adjacency
+
+
+def _extended_boundaries(lanelets: list[Lanelet], rel: np.ndarray,
+                         ) -> tuple[list[np.ndarray], list[np.ndarray],
+                                    list[list[int]]]:
+    """Per-lanelet extended boundaries.
+
+    Reference: RoadDataCommonRoad.get_lanelet_boundary (:259-378): the
+    drivable corridor of a lanelet spans same-direction side-adjacent
+    lanelets and merging/forking siblings.
+    """
+    n = len(lanelets)
+
+    def L(i):
+        return lanelets[i - 1]
+
+    def rel_of(i, j):
+        return rel[min(i, j), max(i, j)]
+
+    boundary_left: list[np.ndarray] = []
+    boundary_right: list[np.ndarray] = []
+    share: list[list[int]] = []
+
+    for i in range(1, n + 1):
+        li = L(i)
+        share_i = [i]
+        left = li.left
+        right = li.right
+
+        if li.adjacent_left and li.adjacent_left_same_dir:
+            left = L(li.adjacent_left).left
+            share_i.append(li.adjacent_left)
+        elif li.adjacent_right and li.adjacent_right_same_dir:
+            right = L(li.adjacent_right).right
+            share_i.append(li.adjacent_right)
+
+        pred_adjL_i = [L(q).adjacent_left for q in li.predecessors
+                       if L(q).adjacent_left]
+        pred_adjR_i = [L(q).adjacent_right for q in li.predecessors
+                       if L(q).adjacent_right]
+        succ_adjL_i = [L(q).adjacent_left for q in li.successors
+                       if L(q).adjacent_left]
+        succ_adjR_i = [L(q).adjacent_right for q in li.successors
+                       if L(q).adjacent_right]
+
+        merging = [j for j in range(1, n + 1)
+                   if j != i and rel_of(i, j) == RelationshipType.merging]
+        for m in merging:
+            lm = L(m)
+            if set(lm.predecessors) & set(pred_adjL_i):
+                if lm.adjacent_left and lm.adjacent_left_same_dir:
+                    left = L(lm.adjacent_left).left
+                    share_i += [m, lm.adjacent_left]
+                else:
+                    left = lm.left
+                    share_i.append(m)
+            if set(lm.predecessors) & set(pred_adjR_i):
+                if lm.adjacent_right and lm.adjacent_right_same_dir:
+                    right = L(lm.adjacent_right).right
+                    share_i += [m, lm.adjacent_right]
+                else:
+                    right = lm.right
+                    share_i.append(m)
+
+        forking = [j for j in range(1, n + 1)
+                   if j != i and rel_of(i, j) == RelationshipType.forking]
+        for f in forking:
+            lf = L(f)
+            if set(lf.successors) & set(succ_adjL_i):
+                if lf.adjacent_left and lf.adjacent_left_same_dir:
+                    left = L(lf.adjacent_left).left
+                    share_i += [f, lf.adjacent_left]
+                else:
+                    left = lf.left
+                    share_i.append(f)
+            if set(lf.successors) & set(succ_adjR_i):
+                if lf.adjacent_right and lf.adjacent_right_same_dir:
+                    right = L(lf.adjacent_right).right
+                    share_i += [f, lf.adjacent_right]
+                else:
+                    right = lf.right
+                    share_i.append(f)
+
+        boundary_left.append(np.asarray(left))
+        boundary_right.append(np.asarray(right))
+        share.append(sorted(set(share_i)))
+
+    return boundary_left, boundary_right, share
+
+
+def get_road_data(xml_path: str = DEFAULT_MAP,
+                  use_cache: bool = True) -> RoadData:
+    """Load (cached) road data. Reference: RoadData.get_road_data (:43-82)."""
+    cache = os.path.join(
+        _CACHE_DIR,
+        os.path.splitext(os.path.basename(xml_path))[0] + ".npz",
+    )
+    if use_cache and os.path.isfile(cache) and (
+            os.path.getmtime(cache) >= os.path.getmtime(xml_path)):
+        return _load_cache(cache)
+
+    lanelets, intersection = parse_commonroad_xml(xml_path)
+    rel, pt, adjacency = _classify_relationships(lanelets, intersection)
+    b_left, b_right, share = _extended_boundaries(lanelets, rel)
+    road = RoadData(
+        lanelets=lanelets,
+        intersection_lanelets=intersection,
+        relationship_type=rel,
+        relationship_point=pt,
+        adjacency_lanelets=adjacency,
+        boundary_left=b_left,
+        boundary_right=b_right,
+        share_boundary_with=share,
+    )
+    if use_cache:
+        _save_cache(road, cache)
+    return road
+
+
+def _save_cache(road: RoadData, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays: dict[str, np.ndarray] = {
+        "intersection_lanelets": road.intersection_lanelets,
+        "relationship_type": road.relationship_type,
+        "relationship_point": road.relationship_point,
+        "adjacency_lanelets": road.adjacency_lanelets,
+        "n_lanelets": np.array(road.n_lanelets),
+    }
+    for i, ll in enumerate(road.lanelets):
+        arrays[f"lanelet_{i}_left"] = ll.left
+        arrays[f"lanelet_{i}_right"] = ll.right
+        arrays[f"lanelet_{i}_pred"] = np.array(ll.predecessors, dtype=np.int64)
+        arrays[f"lanelet_{i}_succ"] = np.array(ll.successors, dtype=np.int64)
+        arrays[f"lanelet_{i}_adj"] = np.array(
+            [ll.adjacent_left, int(ll.adjacent_left_same_dir),
+             ll.adjacent_right, int(ll.adjacent_right_same_dir)],
+            dtype=np.int64,
+        )
+        arrays[f"boundary_{i}_left"] = road.boundary_left[i]
+        arrays[f"boundary_{i}_right"] = road.boundary_right[i]
+        arrays[f"share_{i}"] = np.array(
+            road.share_boundary_with[i], dtype=np.int64
+        )
+    tmp = path + f".{os.getpid()}.tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_cache(path: str) -> RoadData:
+    with np.load(path) as data:
+        n = int(data["n_lanelets"])
+        lanelets = []
+        b_left, b_right, share = [], [], []
+        for i in range(n):
+            left = data[f"lanelet_{i}_left"]
+            right = data[f"lanelet_{i}_right"]
+            adj = data[f"lanelet_{i}_adj"]
+            lanelets.append(
+                Lanelet(
+                    lanelet_id=i + 1,
+                    left=left,
+                    right=right,
+                    center=(left + right) / 2.0,
+                    predecessors=data[f"lanelet_{i}_pred"].tolist(),
+                    successors=data[f"lanelet_{i}_succ"].tolist(),
+                    adjacent_left=int(adj[0]),
+                    adjacent_left_same_dir=bool(adj[1]),
+                    adjacent_right=int(adj[2]),
+                    adjacent_right_same_dir=bool(adj[3]),
+                )
+            )
+            b_left.append(data[f"boundary_{i}_left"])
+            b_right.append(data[f"boundary_{i}_right"])
+            share.append(data[f"share_{i}"].tolist())
+        return RoadData(
+            lanelets=lanelets,
+            intersection_lanelets=data["intersection_lanelets"],
+            relationship_type=data["relationship_type"],
+            relationship_point=data["relationship_point"],
+            adjacency_lanelets=data["adjacency_lanelets"],
+            boundary_left=b_left,
+            boundary_right=b_right,
+            share_boundary_with=share,
+        )

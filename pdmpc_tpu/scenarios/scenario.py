@@ -16,6 +16,17 @@ import numpy as np
 from pdmpc_tpu.models.bicycle import VEHICLE_LENGTH, VEHICLE_WIDTH
 
 
+class RoadTensors(NamedTuple):
+    """Device-side road-network constants (jnp arrays).
+
+    Boundary segments are indexed by 1-based lanelet id; row 0 is a dummy
+    all-masked entry so id 0 means "no lanelet".
+    """
+
+    boundary_segments: Any  # [L+1, S_max, 2, 2] f32
+    boundary_seg_mask: Any  # [L+1, S_max] bool
+
+
 class ScenarioTensors(NamedTuple):
     """Device-side scenario constants (jnp arrays)."""
 
@@ -25,6 +36,10 @@ class ScenarioTensors(NamedTuple):
     reference_speed: Any   # [N] f32
     start_poses: Any       # [N, 3] f32
     start_trims: Any       # [N] i32
+    # road scenarios only (None for free-space scenarios):
+    segment_lanelet: Any = None  # [N, P-1] i32: 1-based lanelet id per path
+    #                              segment (0 = none)
+    road: Any = None             # RoadTensors
 
     @property
     def n_vehicles(self) -> int:
@@ -45,6 +60,10 @@ class Scenario:
         default_factory=lambda: np.array([[0.0, 4.5], [0.0, 4.0]])
     )
     road: Any = None  # RoadData for commonroad scenarios
+
+    # road scenarios attach these (commonroad.py):
+    lanelet_indices: Any = None   # per vehicle: list of 1-based lanelet ids
+    points_indices: Any = None    # per vehicle: last-point count per lanelet
 
     @property
     def n_vehicles(self) -> int:
@@ -68,6 +87,15 @@ class Scenario:
             [np.zeros((n, 1), dtype=np.float32), np.cumsum(seg, axis=1)],
             axis=1,
         )
+
+        segment_lanelet = None
+        road_tensors = None
+        if self.road is not None and self.lanelet_indices is not None:
+            segment_lanelet = jnp.asarray(
+                self._segment_lanelet_array(p_max), dtype=jnp.int32
+            )
+            road_tensors = road_to_tensors(self.road)
+
         return ScenarioTensors(
             reference_paths=jnp.asarray(paths),
             path_cumlen=jnp.asarray(cumlen, dtype=jnp.float32),
@@ -77,4 +105,55 @@ class Scenario:
             ),
             start_poses=jnp.asarray(self.start_poses, dtype=jnp.float32),
             start_trims=jnp.asarray(self.start_trims, dtype=jnp.int32),
+            segment_lanelet=segment_lanelet,
+            road=road_tensors,
         )
+
+    def _segment_lanelet_array(self, p_max: int) -> np.ndarray:
+        """1-based lanelet id of each path segment, padded to [N, p_max-1].
+
+        Segment s spans points s -> s+1; its lanelet is the lanelet of its
+        end point (the lanelet being entered at junctions).
+        """
+        n = self.n_vehicles
+        out = np.zeros((n, p_max - 1), dtype=np.int64)
+        for v in range(n):
+            ids = np.asarray(self.lanelet_indices[v], dtype=np.int64)
+            points_index = np.asarray(self.points_indices[v])
+            n_points = self.reference_paths[v].shape[0]
+            for s in range(p_max - 1):
+                p_end = min(s + 1, n_points - 1)
+                # lanelet j covers points [points_index[j-1], points_index[j])
+                j = int(np.searchsorted(points_index, p_end, side="right"))
+                j = min(j, len(ids) - 1)
+                out[v, s] = ids[j]
+        return out
+
+
+def road_to_tensors(road) -> RoadTensors:
+    """Pack per-lanelet extended boundaries into fixed-shape segment
+    tensors (row 0 = dummy for 'no lanelet')."""
+    import jax.numpy as jnp
+
+    n_lanelets = road.n_lanelets
+    seg_counts = [
+        (road.boundary_left[i].shape[0] - 1)
+        + (road.boundary_right[i].shape[0] - 1)
+        for i in range(n_lanelets)
+    ]
+    s_max = max(seg_counts)
+    segs = np.zeros((n_lanelets + 1, s_max, 2, 2), dtype=np.float32)
+    mask = np.zeros((n_lanelets + 1, s_max), dtype=bool)
+    for i in range(n_lanelets):
+        left = road.boundary_left[i]
+        right = road.boundary_right[i]
+        parts = []
+        for b in (left, right):
+            parts.append(np.stack([b[:-1], b[1:]], axis=1))  # [P-1, 2, 2]
+        all_segs = np.concatenate(parts, axis=0)
+        segs[i + 1, : all_segs.shape[0]] = all_segs
+        mask[i + 1, : all_segs.shape[0]] = True
+    return RoadTensors(
+        boundary_segments=jnp.asarray(segs),
+        boundary_seg_mask=jnp.asarray(mask),
+    )
