@@ -219,6 +219,10 @@ class Config:
     beam_width: int = 512
     # Random seed root for seeded strategies (random priority/weights, MCTS).
     seed: int = 0
+    # Static cap on enumerated priority permutations in optimal_priority
+    # mode (the reference enumerates 2^edges at run time,
+    # Prioritizer.unique_priorities; a fixed-shape program needs a bound).
+    max_priority_permutations: int = 16
 
     # ---- Dependent properties (Config.m:53-101)
     @property

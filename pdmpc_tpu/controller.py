@@ -67,6 +67,9 @@ class StepState(NamedTuple):
     prev_trims: jax.Array   # [N, Hp] i32
     prev_shapes: jax.Array  # [N, Hp, VO, 2]
     prev_valid: jax.Array   # [N] bool
+    # priorities kept from the previous step (explorative mode keeps the
+    # winning prioritization, PrioritizedExplorativeController.m:146-176)
+    priorities_prev: jax.Array  # [N] i32
 
 
 class StepInfo(NamedTuple):
@@ -85,6 +88,7 @@ class StepInfo(NamedTuple):
     levels: jax.Array         # [N] i32
     priorities: jax.Array     # [N] i32
     reference_points: jax.Array  # [N, Hp, 2]
+    priority_permutation: jax.Array  # [N] i32 (chosen permutation; 0 = base)
 
 
 def initial_state(scenario: ScenarioTensors, hp: int) -> StepState:
@@ -96,6 +100,7 @@ def initial_state(scenario: ScenarioTensors, hp: int) -> StepState:
         prev_trims=jnp.zeros((n, hp), dtype=jnp.int32),
         prev_shapes=jnp.zeros((n, hp, VO, 2)),
         prev_valid=jnp.zeros((n,), dtype=bool),
+        priorities_prev=jnp.arange(1, n + 1, dtype=jnp.int32),
     )
 
 
@@ -275,6 +280,158 @@ def _weigh(cfg: Config, directed, poses, k, max_mpa_speed):
 
 
 # ---------------------------------------------------------------------------
+# Multi-permutation solvers (optimal / explorative priority modes)
+# ---------------------------------------------------------------------------
+
+# Cost penalty charged per exhausted vehicle when voting between
+# permutations (the reference has no cost for an infeasible permutation's
+# vehicle; a large penalty makes the vote avoid such permutations).
+_EXHAUSTED_PENALTY = 1e9
+
+
+def _solve_optimal(cfg: Config, comm, solve, adjacency):
+    """optimal_priority: solve every topologically-unique priority
+    permutation of the coupling graph and adopt the global-cost minimizer.
+
+    Reference: PrioritizedOptimalController.m + Prioritizer.unique_priorities
+    (:97-140). The reference enumerates 2^edges edge orientations at run
+    time; here the static candidate set is all N! priority permutations,
+    deduplicated on device by their induced orientation — the same set of
+    acyclic orientations. Like the reference (which skips optimal priority
+    beyond a handful of vehicles, eval_experiments.m:60-66) this is only
+    tractable for small fleets; N <= 6 is enforced.
+    """
+    import itertools
+
+    import numpy as np
+
+    n = adjacency.shape[0]
+    if n > 6:
+        raise ValueError(
+            "optimal_priority enumerates all priority permutations and is "
+            f"limited to 6 vehicles (got {n}); use explorative_priority"
+        )
+    perm_table = jnp.asarray(
+        np.array(list(itertools.permutations(range(1, n + 1))),
+                 dtype=np.int32)
+    )                                                   # [F, N]
+    f = perm_table.shape[0]
+    orient = adjacency[None] & (
+        perm_table[:, :, None] < perm_table[:, None, :]
+    )                                                   # [F, N, N]
+    # dedupe by induced orientation (first occurrence wins)
+    same = jnp.all(
+        orient[:, None] == orient[None, :], axis=(-1, -2)
+    )                                                   # [F, F]
+    first_same = jnp.argmax(same, axis=1)
+    unique_mask = first_same == jnp.arange(f)
+    p_max = min(cfg.max_priority_permutations, f)
+    order = jnp.argsort(~unique_mask, stable=True)      # uniques first
+    sel = order[:p_max]
+    n_unique = jnp.sum(unique_mask)
+    valid_p = jnp.arange(p_max) < jnp.minimum(n_unique, p_max)
+    directed_stack = orient[sel]                        # [P, N, N]
+
+    _, stacked = jax.lax.scan(
+        lambda carry, d: (carry, solve(d)), None, directed_stack
+    )
+    planned_s, shapes_s, seq_s, levels_s = stacked
+
+    cost_l = planned_s.cost + _EXHAUSTED_PENALTY * planned_s.is_exhausted
+    cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
+    # solution-cost voting: sum over vehicles (= the SolutionCost
+    # all-reduce), rounded to 8 decimals like
+    # PrioritizedOptimalController.m:104
+    totals = jnp.round(jnp.sum(cost_g, axis=0), 8)
+    totals = jnp.where(valid_p, totals, jnp.inf)
+    p_star = jnp.argmin(totals)
+
+    planned = jax.tree.map(lambda x: x[p_star], planned_s)
+    directed_star = directed_stack[p_star]
+    priorities = graph_ops.priorities_from_directed_coupling(directed_star)
+    perm_chosen = jnp.full((comm.n_local,), p_star, dtype=jnp.int32)
+    return (planned, shapes_s[p_star], seq_s[p_star], levels_s[p_star],
+            priorities, directed_star, perm_chosen)
+
+
+def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
+                       levels0, max_num_cls: int):
+    """explorative_priority: simultaneously evaluate one prioritization per
+    computation level (arXiv:2501.10781) and vote per coupling subgraph.
+
+    A Latin square of level permutations guarantees each vehicle occupies
+    every computation level exactly once across the permutations
+    (computation_level_permutations,
+    PrioritizedExplorativeController.m:241-309 — the reference randomizes
+    the square per step; cyclic shifts satisfy the same property
+    deterministically). Coupling edges whose permuted levels invert are
+    swapped (:311-319); every permutation is solved; each weakly-connected
+    subgraph of the sequential graph adopts its own cost-minimal
+    permutation (:146-176), and the winning priorities are kept for the
+    next step.
+    """
+    n = directed.shape[0]
+    l_max = max(max_num_cls, 1)
+    n_levels = jnp.maximum(jnp.max(levels0), 1)
+    belonging = graph_ops.weak_components(sequential0)  # [N]
+    coupled = directed | directed.T
+
+    def directed_for(p):
+        lv = ((levels0 - 1 + p) % n_levels) + 1
+        lower = lv[:, None] < lv[None, :]
+        equal = lv[:, None] == lv[None, :]
+        return (coupled & lower) | (directed & equal)
+
+    directed_stack = jax.vmap(directed_for)(
+        jnp.arange(l_max, dtype=jnp.int32)
+    )                                                   # [P, N, N]
+    valid_p = jnp.arange(l_max) < n_levels
+
+    _, stacked = jax.lax.scan(
+        lambda carry, d: (carry, solve(d)), None, directed_stack
+    )
+    planned_s, shapes_s, seq_s, levels_s = stacked
+    del levels_s
+
+    cost_l = planned_s.cost + _EXHAUSTED_PENALTY * planned_s.is_exhausted
+    cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
+    # per-subgraph cost voting (the SolutionCost exchange per subgraph)
+    onehot = (
+        belonging[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+    ).astype(cost_g.dtype)                              # [N, N-labels]
+    totals = jnp.round(cost_g.T @ onehot, 8)            # [P, N-labels]
+    totals = jnp.where(valid_p[:, None], totals, jnp.inf)
+    chosen_per_label = jnp.argmin(totals, axis=0)       # [N-labels]
+    chosen_g = chosen_per_label[belonging]              # [N]
+    chosen_l = comm.local_slice(chosen_g)
+
+    nl = comm.n_local
+    planned = jax.tree.map(
+        lambda x: x[chosen_l, jnp.arange(nl)], planned_s
+    )
+    rows = jnp.arange(n)
+    shapes_g = shapes_s[chosen_g, rows]
+    sequential = seq_s[chosen_g, rows]
+    directed_comb = directed_stack[chosen_g, rows]
+    levels, _ = graph_ops.kahn_levels(sequential)
+
+    # winning priorities kept for the next step: rank vehicles by
+    # (subgraph label, level within subgraph, index) — per-subgraph
+    # priorities with offsets (choose_solution, :165-172)
+    key = (
+        belonging.astype(jnp.int32) * (n * n)
+        + levels.astype(jnp.int32) * n
+        + rows
+    )
+    order = jnp.argsort(key)
+    priorities = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
+        jnp.arange(1, n + 1, dtype=jnp.int32)
+    )
+    return (planned, shapes_g, sequential, levels, priorities,
+            directed_comb, chosen_l)
+
+
+# ---------------------------------------------------------------------------
 # The prioritized step
 # ---------------------------------------------------------------------------
 
@@ -360,11 +517,18 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
 
         # ---- coupling graph (replicated: same inputs on every shard) -----
         adjacency = _couple(cfg, rs_g, pose_g, max_mpa_speed)
-        priorities, directed = _prioritize(cfg, adjacency, ref_points_g, k)
-        weighted = _weigh(cfg, directed, pose_g, k, max_mpa_speed)
-        sequential = graph_ops.greedy_cut(weighted, max_num_cls, n)
-        levels, _ = graph_ops.kahn_levels(sequential)
-        levels_l = comm.local_slice(levels)
+        if cfg.priority == PriorityStrategies.explorative_priority:
+            # explorative mode keeps the winning prioritization of the
+            # previous step (choose_solution,
+            # PrioritizedExplorativeController.m:146-176)
+            priorities = comm.gather_veh(state.priorities_prev)
+            directed = graph_ops.directed_coupling_from_priorities(
+                adjacency, priorities
+            )
+        else:
+            priorities, directed = _prioritize(
+                cfg, adjacency, ref_points_g, k
+            )
 
         # ---- obstacle families (global, shared across vehicles) ----------
         # family 0: this step's already-planned predicted areas [N, Hp, VO, 2]
@@ -380,99 +544,130 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         standstill = jnp.broadcast_to(
             pad_polys_to_vo(occupied_offset_g)[:, None], (n, hp, VO, 2)
         )
-
-        # masks [N(planning vehicle), N(obstacle vehicle)]
         not_self = ~jnp.eye(n, dtype=bool)
-        seq_pred = sequential.T & not_self               # j seq-predecessor of v
-        par_pred = (directed.T & ~sequential.T) & not_self
-        if not use_reachability:
-            par_pred = par_pred & prev_valid_g[None, :]
-        if successor_mode == ConstraintFromSuccessor.area_of_standstill:
-            successor_standstill = (
-                directed
-                & (mpa.trim_speed[trim_g] < STANDSTILL_SPEED)[None, :]
-                & not_self
-            )
-        else:
-            successor_standstill = jnp.zeros((n, n), dtype=bool)
-        if successor_mode == ConstraintFromSuccessor.area_of_previous_trajectory:
-            succ_prev = directed & prev_valid_g[None, :] & not_self
-        else:
-            succ_prev = jnp.zeros((n, n), dtype=bool)
 
-        obs_mask_all = jnp.concatenate(
-            [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
-        )                                                # [N, 4N]
-        obs_mask_l = comm.local_slice(obs_mask_all)      # [nl, 4N]
+        def solve(directed_p):
+            """One full prioritized solve for a given directed coupling.
 
-        # ---- level-by-level planning -------------------------------------
-        planned0 = search.PlanResult(
-            trims=jnp.zeros((nl, hp), dtype=jnp.int32),
-            poses=jnp.zeros((nl, hp, 3)),
-            shapes=jnp.zeros((nl, hp, mpa.area.shape[-2], 2)),
-            cost=jnp.zeros((nl,)),
-            is_exhausted=jnp.zeros((nl,), dtype=bool),
-            n_expanded=jnp.zeros((nl,), dtype=jnp.int32),
-        )
-        planned_shapes0 = jnp.zeros((n, hp, VO, 2))
-        max_level = jnp.max(levels)
+            weigh -> cut -> levels -> level-by-level planning with per-level
+            prediction exchange. Returns (planned [local], planned_shapes
+            [global], sequential, levels).
+            """
+            weighted = _weigh(cfg, directed_p, pose_g, k, max_mpa_speed)
+            sequential = graph_ops.greedy_cut(weighted, max_num_cls, n)
+            levels, _ = graph_ops.kahn_levels(sequential)
+            levels_l = comm.local_slice(levels)
 
-        def level_body(carry):
-            level, planned, planned_shapes = carry
-            # obstacles: planned shapes + parallel + standstill + delayed
-            obs_polys = jnp.concatenate(
-                [planned_shapes, parallel_polys, standstill, prev_shifted],
-                axis=0,
-            )                                            # [4N, Hp, VO, 2]
-
-            def plan_v(pose, trim, ref_p, vr, mask, bs, bm):
-                obstacles = Obstacles(
-                    polys=obs_polys,
-                    mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
-                )
-                return search.plan_trajectory(
-                    mpa, pose, trim, ref_p, vr, obstacles, dt,
-                    cfg.beam_width,
-                    boundary_segments=bs, boundary_mask=bm,
-                )
-
-            if bnd_segs is not None:
-                result = jax.vmap(plan_v)(
-                    state.pose, state.trim, ref_points, v_ref, obs_mask_l,
-                    bnd_segs, bnd_mask,
+            # masks [N(planning vehicle), N(obstacle vehicle)]
+            seq_pred = sequential.T & not_self
+            par_pred = (directed_p.T & ~sequential.T) & not_self
+            if not use_reachability:
+                par_pred = par_pred & prev_valid_g[None, :]
+            if successor_mode == ConstraintFromSuccessor.area_of_standstill:
+                successor_standstill = (
+                    directed_p
+                    & (mpa.trim_speed[trim_g] < STANDSTILL_SPEED)[None, :]
+                    & not_self
                 )
             else:
-                result = jax.vmap(
-                    lambda pose, trim, ref_p, vr, mask: plan_v(
-                        pose, trim, ref_p, vr, mask, None, None
-                    )
-                )(state.pose, state.trim, ref_points, v_ref, obs_mask_l)
+                successor_standstill = jnp.zeros((n, n), dtype=bool)
+            if (successor_mode
+                    == ConstraintFromSuccessor.area_of_previous_trajectory):
+                succ_prev = directed_p & prev_valid_g[None, :] & not_self
+            else:
+                succ_prev = jnp.zeros((n, n), dtype=bool)
 
-            at_level = levels_l == level
+            obs_mask_all = jnp.concatenate(
+                [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
+            )                                            # [N, 4N]
+            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, 4N]
 
-            def sel(new, old):
-                mask = at_level.reshape((nl,) + (1,) * (new.ndim - 1))
-                return jnp.where(mask, new, old)
-
-            planned = jax.tree.map(sel, result, planned)
-            # publish predictions: update local rows, then exchange
-            # (the per-level Predictions all_gather over ICI)
-            local_shapes = jnp.where(
-                at_level[:, None, None, None],
-                pad_polys_to_vo(result.shapes),
-                comm.local_slice(planned_shapes),
+            planned0 = search.PlanResult(
+                trims=jnp.zeros((nl, hp), dtype=jnp.int32),
+                poses=jnp.zeros((nl, hp, 3)),
+                shapes=jnp.zeros((nl, hp, mpa.area.shape[-2], 2)),
+                cost=jnp.zeros((nl,)),
+                is_exhausted=jnp.zeros((nl,), dtype=bool),
+                n_expanded=jnp.zeros((nl,), dtype=jnp.int32),
             )
-            planned_shapes = comm.gather_veh(local_shapes)
-            return (level + 1, planned, planned_shapes)
+            planned_shapes0 = jnp.zeros((n, hp, VO, 2))
+            max_level = jnp.max(levels)
 
-        def level_cond(carry):
-            return carry[0] <= max_level
+            def level_body(carry):
+                level, planned, planned_shapes = carry
+                obs_polys = jnp.concatenate(
+                    [planned_shapes, parallel_polys, standstill,
+                     prev_shifted],
+                    axis=0,
+                )                                        # [4N, Hp, VO, 2]
 
-        _, planned, planned_shapes_g = jax.lax.while_loop(
-            level_cond,
-            level_body,
-            (jnp.array(1, dtype=jnp.int32), planned0, planned_shapes0),
-        )
+                def plan_v(pose, trim, ref_p, vr, mask, bs, bm):
+                    obstacles = Obstacles(
+                        polys=obs_polys,
+                        mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
+                    )
+                    return search.plan_trajectory(
+                        mpa, pose, trim, ref_p, vr, obstacles, dt,
+                        cfg.beam_width,
+                        boundary_segments=bs, boundary_mask=bm,
+                    )
+
+                if bnd_segs is not None:
+                    result = jax.vmap(plan_v)(
+                        state.pose, state.trim, ref_points, v_ref,
+                        obs_mask_l, bnd_segs, bnd_mask,
+                    )
+                else:
+                    result = jax.vmap(
+                        lambda pose, trim, ref_p, vr, mask: plan_v(
+                            pose, trim, ref_p, vr, mask, None, None
+                        )
+                    )(state.pose, state.trim, ref_points, v_ref, obs_mask_l)
+
+                at_level = levels_l == level
+
+                def sel(new, old):
+                    m = at_level.reshape((nl,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                planned = jax.tree.map(sel, result, planned)
+                # publish predictions: update local rows, then exchange
+                # (the per-level Predictions all_gather over ICI)
+                local_shapes = jnp.where(
+                    at_level[:, None, None, None],
+                    pad_polys_to_vo(result.shapes),
+                    comm.local_slice(planned_shapes),
+                )
+                planned_shapes = comm.gather_veh(local_shapes)
+                return (level + 1, planned, planned_shapes)
+
+            def level_cond(carry):
+                return carry[0] <= max_level
+
+            _, planned, planned_shapes_g = jax.lax.while_loop(
+                level_cond,
+                level_body,
+                (jnp.array(1, dtype=jnp.int32), planned0, planned_shapes0),
+            )
+            return planned, planned_shapes_g, sequential, levels
+
+        if cfg.priority == PriorityStrategies.optimal_priority:
+            (planned, planned_shapes_g, sequential, levels,
+             priorities, directed, perm_chosen) = _solve_optimal(
+                cfg, comm, solve, adjacency
+            )
+        elif cfg.priority == PriorityStrategies.explorative_priority:
+            weighted0 = _weigh(cfg, directed, pose_g, k, max_mpa_speed)
+            sequential0 = graph_ops.greedy_cut(weighted0, max_num_cls, n)
+            levels0, _ = graph_ops.kahn_levels(sequential0)
+            (planned, planned_shapes_g, sequential, levels,
+             priorities, directed, perm_chosen) = _solve_explorative(
+                cfg, comm, solve, directed, sequential0, levels0,
+                max_num_cls
+            )
+        else:
+            planned, planned_shapes_g, sequential, levels = solve(directed)
+            perm_chosen = jnp.zeros((nl,), dtype=jnp.int32)
         planned_shapes = comm.local_slice(planned_shapes_g)
 
         # ---- exhaustion handling -----------------------------------------
@@ -539,6 +734,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             prev_trims=final_trims.astype(jnp.int32),
             prev_shapes=final_shapes,
             prev_valid=jnp.ones((nl,), dtype=bool),
+            priorities_prev=comm.local_slice(priorities),
         )
         info = StepInfo(
             poses=final_poses,
@@ -554,6 +750,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             levels=levels,
             priorities=priorities,
             reference_points=ref_points,
+            priority_permutation=perm_chosen,
         )
         return new_state, info
 
@@ -573,6 +770,72 @@ def _del_first_rpt_last(arr: jax.Array, axis: int) -> jax.Array:
     return jnp.concatenate([first, last], axis=axis)
 
 
+def make_centralized_step(cfg: Config, mpa: MpaTensors,
+                          scenario: ScenarioTensors):
+    """Centralized control step: one joint optimization over all vehicles.
+
+    Reference: hlc/controller/centralized/CentralizedController.m — no
+    coupling graph and no fallback (the reference errors out on an
+    infeasible joint search, :61-70; here the fleet holds its poses and the
+    step is flagged exhausted).
+    """
+    from pdmpc_tpu.ops.search_centralized import plan_centralized
+
+    n = scenario.n_vehicles
+    hp = mpa.Hp
+    dt = cfg.dt_seconds
+
+    def step(state: StepState, k: jax.Array):
+        del k
+        ref_points, v_ref, _, _ = jax.vmap(
+            lambda i, p, t: _reference_trajectory_single(
+                mpa, scenario, i, p, t, dt
+            )
+        )(jnp.arange(n), state.pose, state.trim)
+
+        res = plan_centralized(
+            mpa, state.pose, state.trim, ref_points, v_ref, dt,
+            cfg.beam_width,
+        )
+        poses = jnp.swapaxes(res.poses, 0, 1)            # [N, Hp, 3]
+        trims = jnp.swapaxes(res.trims, 0, 1)            # [N, Hp]
+        shapes = pad_polys_to_vo(jnp.swapaxes(res.shapes, 0, 1))
+
+        keep = res.is_exhausted
+        new_pose = jnp.where(keep, state.pose, poses[:, 0])
+        new_trim = jnp.where(keep, state.trim, trims[:, 0])
+
+        new_state = StepState(
+            pose=new_pose,
+            trim=new_trim.astype(jnp.int32),
+            prev_poses=poses,
+            prev_trims=trims.astype(jnp.int32),
+            prev_shapes=shapes,
+            prev_valid=jnp.ones((n,), dtype=bool),
+            priorities_prev=state.priorities_prev,
+        )
+        zeros_nn = jnp.zeros((n, n), dtype=bool)
+        info = StepInfo(
+            poses=poses,
+            trims=trims.astype(jnp.int32),
+            shapes=shapes,
+            cost=jnp.full((n,), res.cost / n),
+            needs_fallback=jnp.full((n,), res.is_exhausted),
+            is_exhausted=jnp.full((n,), res.is_exhausted),
+            n_expanded=jnp.full((n,), res.n_expanded, dtype=jnp.int32),
+            adjacency=~jnp.eye(n, dtype=bool),
+            directed_coupling=zeros_nn,
+            directed_sequential=zeros_nn,
+            levels=jnp.ones((n,), dtype=jnp.int32),
+            priorities=jnp.arange(1, n + 1, dtype=jnp.int32),
+            reference_points=ref_points,
+            priority_permutation=jnp.zeros((n,), dtype=jnp.int32),
+        )
+        return new_state, info
+
+    return step
+
+
 def make_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors):
     """Receding-horizon experiment: ``run(state0) -> (final_state, infos)``.
 
@@ -580,7 +843,10 @@ def make_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors):
     ``lax.scan`` over k_end steps; infos are stacked per step (the
     ExperimentResult capability).
     """
-    step = make_prioritized_step(cfg, mpa, scenario)
+    if cfg.is_prioritized:
+        step = make_prioritized_step(cfg, mpa, scenario)
+    else:
+        step = make_centralized_step(cfg, mpa, scenario)
 
     def run(state: StepState):
         return jax.lax.scan(

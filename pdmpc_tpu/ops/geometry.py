@@ -120,7 +120,9 @@ def point_in_convex(p, poly):
     edges = jnp.roll(poly, -1, axis=0) - poly
     rel = p[None, :] - poly
     cross = edges[:, 0] * rel[:, 1] - edges[:, 1] * rel[:, 0]
-    return jnp.all(cross >= -_EPS) | jnp.all(cross <= _EPS)
+    # boundary tolerance: points on the hull boundary (float32) count inside
+    tol = 1e-6
+    return jnp.all(cross >= -tol) | jnp.all(cross <= tol)
 
 
 def _segment_intersection(p1, p2, q1, q2):

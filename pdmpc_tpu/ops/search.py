@@ -95,6 +95,13 @@ def _sat_separates_batch(man_polys, obs_polys):
     )
 
 
+# Obstacles are processed in chunks of this size: bounds the materialized
+# SAT projection tensor to [C, OBS_CHUNK, VA+VB, max(VA,VB)] regardless of
+# the obstacle count (a single fused [C, n_obs, ...] tensor OOMs HBM for
+# large vehicle counts x scenario batches).
+OBS_CHUNK = 8
+
+
 def candidate_collisions(man_polys, obs_polys, obs_mask):
     """Collision mask of candidate swept areas against masked obstacles.
 
@@ -103,13 +110,34 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     Returns [C] bool — True where the candidate hits any active obstacle.
 
     This is the hot inner loop of the framework (the eval_edge_exact
-    capability, GraphSearch.m:111-196).
+    capability, GraphSearch.m:111-196). Obstacles are scanned in
+    fixed-size chunks to bound peak memory.
     """
-    sep = _sat_separates_batch(
-        man_polys[:, None, :, :], obs_polys[None, :, :, :]
-    )  # [C, n_obs]
-    hit = (~sep) & obs_mask[None, :]
-    return jnp.any(hit, axis=-1)
+    c = man_polys.shape[0]
+    n_obs, vb = obs_polys.shape[0], obs_polys.shape[1]
+    n_chunks = -(-n_obs // OBS_CHUNK)
+    pad = n_chunks * OBS_CHUNK - n_obs
+    if pad:
+        obs_polys = jnp.concatenate(
+            [obs_polys, jnp.zeros((pad, vb, 2), obs_polys.dtype)], axis=0
+        )
+        obs_mask = jnp.concatenate(
+            [obs_mask, jnp.zeros((pad,), dtype=bool)], axis=0
+        )
+    obs_polys = obs_polys.reshape(n_chunks, OBS_CHUNK, vb, 2)
+    obs_mask = obs_mask.reshape(n_chunks, OBS_CHUNK)
+
+    def body(hit, chunk):
+        polys, mask = chunk
+        sep = _sat_separates_batch(
+            man_polys[:, None, :, :], polys[None, :, :, :]
+        )  # [C, OBS_CHUNK]
+        return hit | jnp.any((~sep) & mask[None, :], axis=-1), None
+
+    hit, _ = jax.lax.scan(
+        body, jnp.zeros((c,), dtype=bool), (obs_polys, obs_mask)
+    )
+    return hit
 
 
 def candidate_boundary_violations(man_polys, boundary_segments,

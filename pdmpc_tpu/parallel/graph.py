@@ -237,6 +237,24 @@ def greedy_cut(weighted_directed: jax.Array, max_num_cls: int,
     )
 
 
+def weak_components(directed: jax.Array) -> jax.Array:
+    """Weakly-connected component labels via min-label propagation.
+
+    directed: [N, N]; returns [N] int32 where each vertex carries the
+    smallest vertex index of its component (the conncomp capability used by
+    the explorative controller, PrioritizedExplorativeController.m:206).
+    """
+    n = directed.shape[0]
+    sym = directed.astype(bool) | directed.astype(bool).T
+    labels0 = jnp.arange(n, dtype=_INT)
+
+    def body(_, labels):
+        neigh = jnp.where(sym, labels[None, :], n)
+        return jnp.minimum(labels, jnp.min(neigh, axis=1).astype(_INT))
+
+    return jax.lax.fori_loop(0, n, body, labels0)
+
+
 def fallback_closure(fallbacks: jax.Array, adjacency: jax.Array,
                      sequential: jax.Array) -> jax.Array:
     """Propagate fallbacks through the coupling graph.
