@@ -223,6 +223,9 @@ class Config:
     # mode (the reference enumerates 2^edges at run time,
     # Prioritizer.unique_priorities; a fixed-shape program needs a bound).
     max_priority_permutations: int = 16
+    # Rollout budget of the sampled (MCTS-equivalent) optimizer; the
+    # reference spends 250 tree expansions (MonteCarloTreeSearch.m:8).
+    mcts_n_rollouts: int = 256
 
     # ---- Dependent properties (Config.m:53-101)
     @property

@@ -601,28 +601,41 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                     axis=0,
                 )                                        # [4N, Hp, VO, 2]
 
-                def plan_v(pose, trim, ref_p, vr, mask, bs, bm):
+                def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm):
                     obstacles = Obstacles(
                         polys=obs_polys,
                         mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
                     )
-                    return search.plan_trajectory(
+                    if cfg.optimizer_type.is_optimal:
+                        return search.plan_trajectory(
+                            mpa, pose, trim, ref_p, vr, obstacles, dt,
+                            cfg.beam_width,
+                            boundary_segments=bs, boundary_mask=bm,
+                        )
+                    # sampled search, seeded per (seed, step, vehicle) like
+                    # MonteCarloTreeSearch.m:31
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k),
+                        i,
+                    )
+                    return search.plan_trajectory_sampled(
                         mpa, pose, trim, ref_p, vr, obstacles, dt,
-                        cfg.beam_width,
+                        cfg.mcts_n_rollouts, key,
                         boundary_segments=bs, boundary_mask=bm,
                     )
 
                 if bnd_segs is not None:
                     result = jax.vmap(plan_v)(
-                        state.pose, state.trim, ref_points, v_ref,
+                        gidx, state.pose, state.trim, ref_points, v_ref,
                         obs_mask_l, bnd_segs, bnd_mask,
                     )
                 else:
                     result = jax.vmap(
-                        lambda pose, trim, ref_p, vr, mask: plan_v(
-                            pose, trim, ref_p, vr, mask, None, None
+                        lambda i, pose, trim, ref_p, vr, mask: plan_v(
+                            i, pose, trim, ref_p, vr, mask, None, None
                         )
-                    )(state.pose, state.trim, ref_points, v_ref, obs_mask_l)
+                    )(gidx, state.pose, state.trim, ref_points, v_ref,
+                      obs_mask_l)
 
                 at_level = levels_l == level
 

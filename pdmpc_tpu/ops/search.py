@@ -361,3 +361,130 @@ def plan_trajectory(
         is_exhausted=is_exhausted,
         n_expanded=n_expanded,
     )
+
+
+def plan_trajectory_sampled(
+    mpa: MpaTensors,
+    x0: jax.Array,
+    trim0: jax.Array,
+    ref_points: jax.Array,
+    v_ref: jax.Array,
+    obstacles: Obstacles,
+    dt: float,
+    n_rollouts: int,
+    key: jax.Array,
+    boundary_segments: jax.Array | None = None,
+    boundary_mask: jax.Array | None = None,
+) -> PlanResult:
+    """Sampled anytime search: batched random rollouts through the lattice.
+
+    TPU-native re-design of the reference's Monte-Carlo tree search
+    (hlc/optimizer/graph_search/MonteCarloTreeSearch.m, "MatlabSampled"):
+    instead of sequentially growing a tree under a 250-expansion budget with
+    pre-drawn random numbers (seeded per time step + vehicle, :31), the
+    budget is spent on ``n_rollouts`` independent root-to-Hp rollouts
+    evaluated fully in parallel; infeasible edges kill a rollout, and the
+    cheapest surviving complete rollout wins (the candidate-leaf priority
+    queue's role, :8,16-27). Deterministic given ``key``.
+    """
+    n = mpa.n_trims
+    hp = mpa.Hp
+    r = n_rollouts
+    va = mpa.area.shape[-2]
+    check_boundary = boundary_segments is not None
+
+    obs_polys_by_step = jnp.moveaxis(obstacles.polys, 1, 0)
+    obs_mask_by_step = jnp.moveaxis(obstacles.mask, 1, 0)
+
+    pose0 = jnp.tile(x0[None, :], (r, 1))
+    trim_r = jnp.full((r,), trim0, dtype=jnp.int32)
+    g0 = jnp.zeros((r,))
+    alive0 = jnp.ones((r,), dtype=bool)
+    keys = jax.random.split(key, hp)
+
+    def layer(carry, xs):
+        pose, trim, g, alive = carry
+        k, trans_k, obs_polys, obs_mask, key_k = xs
+
+        allowed = trans_k[trim]                          # [R, n]
+        # uniform choice among allowed successors (MCTS rollout policy)
+        logits = jnp.where(allowed, 0.0, -jnp.inf)
+        child_trim = jax.random.categorical(
+            key_k, logits, axis=-1
+        ).astype(jnp.int32)                              # [R]
+        any_allowed = jnp.any(allowed, axis=-1)
+
+        c = jnp.cos(pose[:, 2])
+        s = jnp.sin(pose[:, 2])
+        mdx = mpa.dx[trim, child_trim]
+        mdy = mpa.dy[trim, child_trim]
+        child_x = c * mdx - s * mdy + pose[:, 0]
+        child_y = s * mdx + c * mdy + pose[:, 1]
+        child_yaw = pose[:, 2] + mpa.dyaw[trim, child_trim]
+        child_pos = jnp.stack([child_x, child_y], axis=-1)
+
+        g = g + jnp.sum((child_pos - ref_points[k]) ** 2, axis=-1)
+
+        areas = mpa.area[trim, child_trim]               # [R, VA, 2]
+        ax = c[:, None] * areas[..., 0] - s[:, None] * areas[..., 1] \
+            + pose[:, 0:1]
+        ay = s[:, None] * areas[..., 0] + c[:, None] * areas[..., 1] \
+            + pose[:, 1:2]
+        man_world = jnp.stack([ax, ay], axis=-1)
+        collide = candidate_collisions(
+            pad_polys_to_vo(man_world), obs_polys, obs_mask
+        )
+        if check_boundary:
+            bnd = jnp.where(
+                k == hp - 1,
+                mpa.area_large_offset[trim, child_trim],
+                mpa.area_no_offset[trim, child_trim],
+            )
+            bx = c[:, None] * bnd[..., 0] - s[:, None] * bnd[..., 1] \
+                + pose[:, 0:1]
+            by = s[:, None] * bnd[..., 0] + c[:, None] * bnd[..., 1] \
+                + pose[:, 1:2]
+            collide = collide | candidate_boundary_violations(
+                jnp.stack([bx, by], axis=-1), boundary_segments,
+                boundary_mask,
+            )
+
+        alive = alive & any_allowed & ~collide
+        new_pose = jnp.stack([child_x, child_y, child_yaw], axis=-1)
+        return (new_pose, child_trim, g, alive), (new_pose, child_trim)
+
+    ks = jnp.arange(hp)
+    (pose_f, trim_f, g_f, alive_f), (poses_l, trims_l) = jax.lax.scan(
+        layer,
+        (pose0, trim_r, g0, alive0),
+        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step, keys),
+    )
+    del pose_f, trim_f, va
+
+    leaf_score = jnp.where(alive_f, g_f, jnp.inf)
+    best = jnp.argmin(leaf_score)
+    is_exhausted = ~jnp.any(alive_f)
+    cost = leaf_score[best]
+
+    trims_path = trims_l[:, best]
+    poses_path = poses_l[:, best]
+
+    parent_poses = jnp.concatenate([x0[None, :], poses_path[:-1]], axis=0)
+    parent_trims = jnp.concatenate(
+        [trim0[None].astype(jnp.int32), trims_path[:-1]], axis=0
+    )
+    areas = mpa.area[parent_trims, trims_path]
+    c = jnp.cos(parent_poses[:, 2])[:, None]
+    s = jnp.sin(parent_poses[:, 2])[:, None]
+    sx = c * areas[..., 0] - s * areas[..., 1] + parent_poses[:, 0:1]
+    sy = s * areas[..., 0] + c * areas[..., 1] + parent_poses[:, 1:2]
+    shapes = jnp.stack([sx, sy], axis=-1)
+
+    return PlanResult(
+        trims=trims_path,
+        poses=poses_path,
+        shapes=shapes,
+        cost=cost,
+        is_exhausted=is_exhausted,
+        n_expanded=jnp.sum(alive_f).astype(jnp.int32),
+    )
