@@ -50,30 +50,35 @@ def main():
     sc_t = scenario.to_tensors()
 
     # ---- throughput: batched full rollouts --------------------------------
-    run = jax.jit(jax.vmap(make_run(cfg, mpa_t, sc_t)))
+    run = jax.jit(jax.vmap(make_run(cfg), in_axes=(0, None, None)))
     state0 = initial_state(sc_t, cfg.Hp)
     states0 = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (batch, *x.shape)), state0
     )
     # warmup/compile
-    jax.block_until_ready(run(states0))
+    jax.block_until_ready(run(states0, mpa_t, sc_t))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run(states0)
+        out = run(states0, mpa_t, sc_t)
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / reps
     solves = batch * n_vehicles * cfg.k_end
     solves_per_s = solves / elapsed
 
     # ---- latency: single-scenario per-step p95 ----------------------------
-    step = jax.jit(make_prioritized_step(cfg, mpa_t, sc_t))
+    step = jax.jit(
+        lambda st, kk, m, sc: make_prioritized_step(cfg, m, sc)(st, kk)
+    )
     st = state0
-    jax.block_until_ready(step(st, jnp.asarray(0, dtype=jnp.int32)))
+    jax.block_until_ready(
+        step(st, jnp.asarray(0, dtype=jnp.int32), mpa_t, sc_t)
+    )
     lat = []
     for k in range(30):
         t0 = time.perf_counter()
-        st, _ = step(st, jnp.asarray(k % cfg.k_end, dtype=jnp.int32))
+        st, _ = step(st, jnp.asarray(k % cfg.k_end, dtype=jnp.int32),
+                     mpa_t, sc_t)
         jax.block_until_ready(st)
         lat.append(time.perf_counter() - t0)
     p95_ms = float(np.percentile(np.array(lat) * 1e3, 95))

@@ -289,6 +289,33 @@ def _weigh(cfg: Config, directed, poses, k, max_mpa_speed):
 _EXHAUSTED_PENALTY = 1e9
 
 
+def _all_permutations_device(n: int) -> jax.Array:
+    """All N! permutations of 1..n as a device computation [n!, n].
+
+    Lehmer-code decode from ``jnp.arange(n!)`` — computed on device instead
+    of embedding an n! x n literal table, which would make TPU compilation
+    pathologically slow (embedded array constants hit a slow compile path).
+    """
+    import math
+
+    f = math.factorial(n)
+    idx = jnp.arange(f, dtype=jnp.int32)
+    remaining_mask = jnp.ones((f, n), dtype=bool)
+    perm = jnp.zeros((f, n), dtype=jnp.int32)
+    rem = idx
+    for j in range(n):
+        fac = math.factorial(n - 1 - j)
+        d = rem // fac                                   # [F] 0..n-1-j
+        rem = rem % fac
+        # pick the d-th still-unused value per row
+        cum = jnp.cumsum(remaining_mask, axis=1) - 1     # rank among unused
+        pick = remaining_mask & (cum == d[:, None])      # one-hot [F, n]
+        value = jnp.argmax(pick, axis=1).astype(jnp.int32)
+        perm = perm.at[:, j].set(value + 1)
+        remaining_mask = remaining_mask & ~pick
+    return perm
+
+
 def _solve_optimal(cfg: Config, comm, solve, adjacency):
     """optimal_priority: solve every topologically-unique priority
     permutation of the coupling graph and adopt the global-cost minimizer.
@@ -301,20 +328,13 @@ def _solve_optimal(cfg: Config, comm, solve, adjacency):
     beyond a handful of vehicles, eval_experiments.m:60-66) this is only
     tractable for small fleets; N <= 6 is enforced.
     """
-    import itertools
-
-    import numpy as np
-
     n = adjacency.shape[0]
     if n > 6:
         raise ValueError(
             "optimal_priority enumerates all priority permutations and is "
             f"limited to 6 vehicles (got {n}); use explorative_priority"
         )
-    perm_table = jnp.asarray(
-        np.array(list(itertools.permutations(range(1, n + 1))),
-                 dtype=np.int32)
-    )                                                   # [F, N]
+    perm_table = _all_permutations_device(n)            # [F, N]
     f = perm_table.shape[0]
     orient = adjacency[None] & (
         perm_table[:, :, None] < perm_table[:, None, :]
@@ -456,7 +476,8 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     n = scenario.n_vehicles
     hp = mpa.Hp
     dt = cfg.dt_seconds
-    max_mpa_speed = float(jnp.max(mpa.trim_speed))
+    # traced (mpa is a jit argument, not an embedded constant)
+    max_mpa_speed = jnp.max(mpa.trim_speed)
     max_num_cls = min(cfg.max_num_CLs, n)
     use_reachability = cfg.isDealPredictionInconsistency
     successor_mode = cfg.constraint_from_successor
@@ -849,19 +870,24 @@ def make_centralized_step(cfg: Config, mpa: MpaTensors,
     return step
 
 
-def make_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors):
-    """Receding-horizon experiment: ``run(state0) -> (final_state, infos)``.
+def make_run(cfg: Config):
+    """Receding-horizon experiment:
+    ``run(state0, mpa, scenario) -> (final_state, infos)``.
 
     The reference's main_control_loop (HighLevelController.m:334-373) as a
     ``lax.scan`` over k_end steps; infos are stacked per step (the
     ExperimentResult capability).
-    """
-    if cfg.is_prioritized:
-        step = make_prioritized_step(cfg, mpa, scenario)
-    else:
-        step = make_centralized_step(cfg, mpa, scenario)
 
-    def run(state: StepState):
+    The MPA and scenario tensor bundles are *arguments* of the returned
+    function (to be traced by jit), NOT closure constants: embedded array
+    literals make TPU compilation pathologically slow.
+    """
+
+    def run(state: StepState, mpa: MpaTensors, scenario: ScenarioTensors):
+        if cfg.is_prioritized:
+            step = make_prioritized_step(cfg, mpa, scenario)
+        else:
+            step = make_centralized_step(cfg, mpa, scenario)
         return jax.lax.scan(
             step, state, jnp.arange(cfg.k_end, dtype=jnp.int32)
         )

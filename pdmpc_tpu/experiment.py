@@ -128,11 +128,11 @@ def run_experiment(options: Config) -> ExperimentResult:
     sc_t = scenario.to_tensors()
     timings["hlc_init_all"] = time.perf_counter() - t0
 
-    run = jax.jit(make_run(options, mpa_t, sc_t))
+    run = jax.jit(make_run(options))
     state0 = initial_state(sc_t, options.Hp)
 
     t0 = time.perf_counter()
-    final_state, infos = jax.block_until_ready(run(state0))
+    final_state, infos = jax.block_until_ready(run(state0, mpa_t, sc_t))
     timings["control_loop"] = time.perf_counter() - t0
     timings["steps_per_second"] = options.k_end / timings["control_loop"]
 
@@ -161,8 +161,8 @@ def run_experiment_batch(options: Config,
     mpa_t = mpa.to_tensors(convex=True)
     sc_t = scenario.to_tensors()
 
-    run = make_run(options, mpa_t, sc_t)
-    batched = jax.jit(jax.vmap(run))
+    run = make_run(options)
+    batched = jax.jit(jax.vmap(run, in_axes=(0, None, None)))
     state0 = initial_state(sc_t, options.Hp)
     states0 = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (b, *x.shape)), state0
@@ -170,7 +170,7 @@ def run_experiment_batch(options: Config,
 
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
-    final_state, infos = jax.block_until_ready(batched(states0))
+    final_state, infos = jax.block_until_ready(batched(states0, mpa_t, sc_t))
     timings["control_loop"] = time.perf_counter() - t0
     timings["vehicle_solves_per_second"] = (
         b * options.amount * options.k_end / timings["control_loop"]

@@ -66,18 +66,20 @@ def make_sharded_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors,
     """
     n = scenario.n_vehicles
     steps = n_steps if n_steps is not None else cfg.k_end
-    step = make_prioritized_step(
-        cfg, mpa, scenario,
-        comm_factory=lambda: MeshComm(n, VEHICLE_AXIS),
-    )
 
-    def run_one(state: StepState):
-        return jax.lax.scan(
-            step, state, jnp.arange(steps, dtype=jnp.int32)
+    def run_block(states: StepState, mpa_t: MpaTensors,
+                  sc_t: ScenarioTensors):
+        # states leaves: [B_local, n_local, ...]; mpa/scenario replicated
+        step = make_prioritized_step(
+            cfg, mpa_t, sc_t,
+            comm_factory=lambda: MeshComm(n, VEHICLE_AXIS),
         )
 
-    def run_block(states: StepState):
-        # states leaves: [B_local, n_local, ...]
+        def run_one(state: StepState):
+            return jax.lax.scan(
+                step, state, jnp.arange(steps, dtype=jnp.int32)
+            )
+
         return jax.vmap(run_one)(states)
 
     state_spec = jax.tree.map(
@@ -99,15 +101,20 @@ def make_sharded_run(cfg: Config, mpa: MpaTensors, scenario: ScenarioTensors,
         levels=replicated,
         priorities=replicated,
         reference_points=per_vehicle,
+        priority_permutation=per_vehicle,
     )
 
+    rep_mpa = jax.tree.map(lambda _: P(), mpa)
+    rep_sc = jax.tree.map(lambda _: P(), scenario)
     sharded = shard_map(
         run_block,
         mesh=mesh,
-        in_specs=(state_spec,),
+        in_specs=(state_spec, rep_mpa, rep_sc),
         out_specs=(state_spec, info_spec),
         check_vma=False,
     )
+    # returned callable takes the tensor bundles as arguments (embedding
+    # them as constants would poison TPU compile time)
     return jax.jit(sharded)
 
 
@@ -135,13 +142,15 @@ def make_data_parallel_run(cfg: Config, mpa: MpaTensors,
     """
     from pdmpc_tpu.controller import make_run
 
-    steps_cfg = cfg if n_steps is None else None
-    del steps_cfg
-    run = make_run(cfg, mpa, scenario)
-    batched = jax.vmap(run)
+    del n_steps
+    run = make_run(cfg)
+    batched = jax.vmap(run, in_axes=(0, None, None))
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     return jax.jit(
         batched,
-        in_shardings=(jax.tree.map(lambda _: sharding,
-                                   initial_state(scenario, cfg.Hp)),),
+        in_shardings=(
+            jax.tree.map(lambda _: sharding, initial_state(scenario, cfg.Hp)),
+            None,
+            None,
+        ),
     )

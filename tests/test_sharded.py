@@ -41,15 +41,17 @@ def test_sharded_equals_sequential(setup):
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
 
     # single-program reference
-    run = jax.jit(jax.vmap(make_run(cfg, mpa_t, sc_t)))
+    run = jax.jit(jax.vmap(make_run(cfg), in_axes=(0, None, None)))
     states0 = sharded.batched_initial_state(sc_t, cfg.Hp, BATCH)
-    final_ref, infos_ref = jax.block_until_ready(run(states0))
+    final_ref, infos_ref = jax.block_until_ready(run(states0, mpa_t, sc_t))
 
     # vehicle+scenario sharded program
     mesh = sharded.make_mesh(2, 4)
     run_sh = sharded.make_sharded_run(cfg, mpa_t, sc_t, mesh)
     states0_sh = sharded.place_batched_state(states0, mesh)
-    final_sh, infos_sh = jax.block_until_ready(run_sh(states0_sh))
+    final_sh, infos_sh = jax.block_until_ready(
+        run_sh(states0_sh, mpa_t, sc_t)
+    )
 
     np.testing.assert_allclose(
         np.asarray(final_ref.pose), np.asarray(final_sh.pose),
@@ -72,7 +74,7 @@ def test_data_parallel_runs(setup):
     mesh = sharded.make_mesh(8, 1)
     run_dp = sharded.make_data_parallel_run(cfg, mpa_t, sc_t, mesh)
     states0 = sharded.batched_initial_state(sc_t, cfg.Hp, 8)
-    final, infos = jax.block_until_ready(run_dp(states0))
+    final, infos = jax.block_until_ready(run_dp(states0, mpa_t, sc_t))
     assert np.asarray(final.pose).shape == (8, N_VEH, 3)
     # all batch entries identical (same initial state)
     p = np.asarray(infos.poses)
