@@ -536,8 +536,21 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         prev_shapes_g = comm.gather_veh(state.prev_shapes)
         prev_valid_g = comm.gather_veh(state.prev_valid)
 
+        # ---- HDV handling (HighLevelController.m:394-447) -----------------
+        # human-driven vehicles do not plan; CAVs avoid their (non-recursive)
+        # reachable sets, and HDVs are excluded from the coupling graph
+        is_hdv_g = scenario.is_hdv
+        is_hdv_l = comm.local_slice(is_hdv_g)
+        hdv_rs = jax.vmap(
+            lambda p, t: geo.transform_polygon(
+                mpa.local_reachable_sets_hdv[t], p[0], p[1], p[2]
+            )
+        )(state.pose, state.trim)                        # [nl, Hp, K, 2]
+        hdv_rs_g = pad_polys_to_vo(comm.gather_veh(hdv_rs))
+
         # ---- coupling graph (replicated: same inputs on every shard) -----
         adjacency = _couple(cfg, rs_g, pose_g, max_mpa_speed)
+        adjacency = adjacency & ~is_hdv_g[:, None] & ~is_hdv_g[None, :]
         if cfg.priority == PriorityStrategies.explorative_priority:
             # explorative mode keeps the winning prioritization of the
             # previous step (choose_solution,
@@ -598,10 +611,13 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             else:
                 succ_prev = jnp.zeros((n, n), dtype=bool)
 
+            hdv_family = is_hdv_g[None, :] & ~is_hdv_g[:, None] & not_self
             obs_mask_all = jnp.concatenate(
-                [seq_pred, par_pred, successor_standstill, succ_prev], axis=1
-            )                                            # [N, 4N]
-            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, 4N]
+                [seq_pred, par_pred, successor_standstill, succ_prev,
+                 hdv_family],
+                axis=1,
+            )                                            # [N, 5N]
+            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, 5N]
 
             planned0 = search.PlanResult(
                 trims=jnp.zeros((nl, hp), dtype=jnp.int32),
@@ -618,14 +634,14 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 level, planned, planned_shapes = carry
                 obs_polys = jnp.concatenate(
                     [planned_shapes, parallel_polys, standstill,
-                     prev_shifted],
+                     prev_shifted, hdv_rs_g],
                     axis=0,
-                )                                        # [4N, Hp, VO, 2]
+                )                                        # [5N, Hp, VO, 2]
 
                 def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm):
                     obstacles = Obstacles(
                         polys=obs_polys,
-                        mask=jnp.broadcast_to(mask[:, None], (4 * n, hp)),
+                        mask=jnp.broadcast_to(mask[:, None], (5 * n, hp)),
                     )
                     if cfg.optimizer_type.is_optimal:
                         return search.plan_trajectory(
@@ -725,7 +741,9 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
 
         # fallback propagation needs the global fallback flags (the
         # Predictions needs_fallback field + graph reachability)
-        needs_fallback_own = planned.is_exhausted & ~stay_still_ok
+        needs_fallback_own = (
+            planned.is_exhausted & ~stay_still_ok & ~is_hdv_l
+        )
         fallbacks_g = graph_ops.fallback_closure(
             comm.gather_veh(needs_fallback_own), adjacency, sequential
         )
@@ -759,6 +777,39 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         final_trims = choose(planned.trims, ss_trims, fb_trims, 1)
         final_shapes = choose(planned_shapes, ss_shapes, fb_shapes, 3)
         final_cost = choose(planned.cost, ss_cost, fb_cost, 0)
+
+        # HDVs follow their reference path (the lab's human input; in
+        # simulation the scripted path stands in, ManualVehicle.m)
+        hdv_yaws = jax.vmap(_calculate_yaw)(ref_points)  # [nl, Hp]
+        hdv_poses = jnp.concatenate(
+            [ref_points, hdv_yaws[..., None]], axis=-1
+        )
+        # trim with the closest straight speed to the reference speed
+        ref_speed_l = scenario.reference_speed[gidx]
+        speed_dist = jnp.where(
+            (mpa.trim_steering == 0.0)[None, :],
+            jnp.abs(mpa.trim_speed[None, :] - ref_speed_l[:, None]),
+            jnp.inf,
+        )
+        hdv_trim = jnp.argmin(speed_dist, axis=-1).astype(jnp.int32)
+        hdv_shapes = jax.vmap(
+            jax.vmap(lambda p: _occupied_area(p, cfg.offset))
+        )(hdv_poses)                                     # [nl, Hp, 4, 2]
+        final_poses = jnp.where(
+            is_hdv_l[:, None, None], hdv_poses, final_poses
+        )
+        final_trims = jnp.where(
+            is_hdv_l[:, None], jnp.broadcast_to(hdv_trim[:, None], (nl, hp)),
+            final_trims,
+        )
+        final_shapes = jnp.where(
+            is_hdv_l[:, None, None, None],
+            jnp.broadcast_to(
+                pad_polys_to_vo(hdv_shapes), (nl, hp, VO, 2)
+            ),
+            final_shapes,
+        )
+        fallbacks = fallbacks & ~is_hdv_l
 
         # ---- apply (Simulation.apply, plant/Simulation.m:86-117) ----------
         new_state = StepState(

@@ -28,11 +28,24 @@ from pdmpc_tpu.scenarios.scenario import Scenario
 
 def create_scenario(options: Config, mpa: Mpa) -> Scenario:
     """Scenario factory. Reference: scenarios/Scenario.m:75-88."""
-    if options.scenario_type == ScenarioType.circle:
-        return create_circle_scenario(options, mpa)
-    from pdmpc_tpu.scenarios.commonroad import create_commonroad_scenario
+    import numpy as _np
 
-    return create_commonroad_scenario(options, mpa)
+    if options.scenario_type == ScenarioType.circle:
+        scenario = create_circle_scenario(options, mpa)
+    else:
+        from pdmpc_tpu.scenarios.commonroad import create_commonroad_scenario
+
+        scenario = create_commonroad_scenario(options, mpa)
+
+    # mark human-driven vehicles (ManualControlConfig; hdv_ids are 0-based
+    # indices into the fleet)
+    mcc = options.manual_control_config
+    if mcc.is_active and mcc.hdv_ids:
+        is_hdv = _np.zeros(scenario.n_vehicles, dtype=bool)
+        for i in mcc.hdv_ids:
+            is_hdv[int(i)] = True
+        scenario.is_hdv = is_hdv
+    return scenario
 
 
 @dataclass

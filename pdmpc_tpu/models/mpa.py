@@ -248,6 +248,11 @@ class Mpa:
     area_nc_large_offset: np.ndarray    # [n, n, VM_NONCONVEX, 2]
 
     local_reachable_sets_conv: np.ndarray  # [n, Hp, K_REACHABLE, 2]
+    # non-recursive-feasibility variant: used for HDV (human-driven vehicle)
+    # reachability, whose MPA does not require stopping within the horizon
+    # (scenarios/ManualVehicle.m:30-49 builds a non-recursive single-speed
+    # MPA for this purpose)
+    local_reachable_sets_nonrecursive: np.ndarray = None  # [n, Hp, K, 2]
 
     @property
     def n_trims(self) -> int:
@@ -312,6 +317,11 @@ class Mpa:
             area_no_offset=f32(area_no),
             area_large_offset=f32(area_large),
             local_reachable_sets=f32(self.local_reachable_sets_conv),
+            local_reachable_sets_hdv=f32(
+                self.local_reachable_sets_nonrecursive
+                if self.local_reachable_sets_nonrecursive is not None
+                else self.local_reachable_sets_conv
+            ),
             trim_speed=f32(self.trim_speed),
             trim_steering=f32(self.trim_steering),
             trims_stop=jnp.asarray(self.trims_stop),
@@ -329,6 +339,7 @@ class MpaTensors(NamedTuple):
     area_no_offset: "object"        # [n, n, V, 2] f32
     area_large_offset: "object"     # [n, n, V, 2] f32
     local_reachable_sets: "object"  # [n, Hp, K, 2] f32
+    local_reachable_sets_hdv: "object"  # [n, Hp, K, 2] f32 (non-recursive)
     trim_speed: "object"            # [n] f32
     trim_steering: "object"         # [n] f32
     trims_stop: "object"            # [n] bool
@@ -555,6 +566,22 @@ def build_mpa(options: Config) -> Mpa:
     family = area_nc if options.are_any_obstacles_non_convex else area_conv
     mpa.local_reachable_sets_conv = _reachability_analysis_offline(mpa, family)
 
+    # HDV variant: reachability under the plain (non-recursive) adjacency
+    if options.recursive_feasibility:
+        import dataclasses as _dc
+
+        mpa_nr = _dc.replace(
+            mpa,
+            transition=np.broadcast_to(adjacency, (hp, n, n)).copy(),
+        )
+        mpa.local_reachable_sets_nonrecursive = (
+            _reachability_analysis_offline(mpa_nr, family)
+        )
+    else:
+        mpa.local_reachable_sets_nonrecursive = (
+            mpa.local_reachable_sets_conv.copy()
+        )
+
     _save_mpa(mpa, cache_path)
     return mpa
 
@@ -568,6 +595,7 @@ def mpa_cache_name(options: Config) -> str:
     )
     parts = [
         f"MPA_trims{adj.shape[0]}",
+        "v2",
         f"Hp{options.Hp}",
         f"dt{options.dt_seconds:g}",
         f"off{options.offset:g}",
@@ -584,7 +612,7 @@ _ARRAY_FIELDS = [
     "distance_to_equilibrium", "dx", "dy", "dyaw", "man_trajectory",
     "area_conv", "area_conv_no_offset", "area_conv_large_offset",
     "area_nc", "area_nc_no_offset", "area_nc_large_offset",
-    "local_reachable_sets_conv",
+    "local_reachable_sets_conv", "local_reachable_sets_nonrecursive",
 ]
 
 

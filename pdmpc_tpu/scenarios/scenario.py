@@ -36,6 +36,7 @@ class ScenarioTensors(NamedTuple):
     reference_speed: Any   # [N] f32
     start_poses: Any       # [N, 3] f32
     start_trims: Any       # [N] i32
+    is_hdv: Any = None     # [N] bool (human-driven vehicles; ManualControlConfig)
     # road scenarios only (None for free-space scenarios):
     segment_lanelet: Any = None  # [N, P-1] i32: 1-based lanelet id per path
     #                              segment (0 = none)
@@ -60,6 +61,7 @@ class Scenario:
         default_factory=lambda: np.array([[0.0, 4.5], [0.0, 4.0]])
     )
     road: Any = None  # RoadData for commonroad scenarios
+    is_hdv: Any = None  # [N] bool; HDV vehicles (ManualControlConfig.hdv_ids)
 
     # road scenarios attach these (commonroad.py):
     lanelet_indices: Any = None   # per vehicle: list of 1-based lanelet ids
@@ -96,6 +98,11 @@ class Scenario:
             )
             road_tensors = road_to_tensors(self.road)
 
+        is_hdv = (
+            np.asarray(self.is_hdv, dtype=bool)
+            if self.is_hdv is not None
+            else np.zeros(n, dtype=bool)
+        )
         return ScenarioTensors(
             reference_paths=jnp.asarray(paths),
             path_cumlen=jnp.asarray(cumlen, dtype=jnp.float32),
@@ -105,6 +112,7 @@ class Scenario:
             ),
             start_poses=jnp.asarray(self.start_poses, dtype=jnp.float32),
             start_trims=jnp.asarray(self.start_trims, dtype=jnp.int32),
+            is_hdv=jnp.asarray(is_hdv),
             segment_lanelet=segment_lanelet,
             road=road_tensors,
         )
