@@ -202,6 +202,7 @@ def plan_trajectory(
     beam_width: int,
     boundary_segments: jax.Array | None = None,   # [S, 2, 2]
     boundary_mask: jax.Array | None = None,       # [S]
+    use_pallas: bool = False,
 ) -> PlanResult:
     """Plan one vehicle's Hp-step trajectory through the trim lattice.
 
@@ -259,9 +260,18 @@ def plan_trajectory(
         )
         man_world = jnp.stack([ax, ay], axis=-1)              # [B, n, VA, 2]
         man_padded = pad_polys_to_vo(man_world.reshape(b * n, va, 2))
-        collide = candidate_collisions(
-            man_padded, obs_polys, obs_mask
-        ).reshape(b, n)
+        if use_pallas:
+            from pdmpc_tpu.ops.pallas_collision import (
+                candidate_collisions_pallas,
+            )
+
+            collide = candidate_collisions_pallas(
+                man_padded, obs_polys, obs_mask
+            ).reshape(b, n)
+        else:
+            collide = candidate_collisions(
+                man_padded, obs_polys, obs_mask
+            ).reshape(b, n)
 
         if check_boundary:
             # boundary areas: without offset; larger offset at final step
