@@ -60,19 +60,27 @@ def _build(scenario_type, n_vehicles, t_end, beam, priority="coloring"):
 
 
 def _throughput(cfg, mpa_t, sc_t, batch, reps=3):
+    """Chained rollouts between two host-value fetches.
+
+    Each repetition feeds the previous final state back as input, so the
+    executions form a true data-dependent chain; the closing ``float()``
+    fetch forces everything to complete (``block_until_ready`` through the
+    tunneled device is not a reliable sync point, and identical inputs can
+    be served from caches).
+    """
     from pdmpc_tpu.controller import initial_state, make_run
 
     run = jax.jit(jax.vmap(make_run(cfg), in_axes=(0, None, None)))
     state0 = initial_state(sc_t, cfg.Hp)
-    states0 = jax.tree.map(
+    states = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (batch, *x.shape)), state0
     )
-    jax.block_until_ready(run(states0, mpa_t, sc_t))  # compile
+    states, _ = run(states, mpa_t, sc_t)            # compile + warm
+    float(jnp.sum(states.pose))                     # sync
     t0 = time.perf_counter()
-    out = None
     for _ in range(reps):
-        out = run(states0, mpa_t, sc_t)
-    jax.block_until_ready(out)
+        states, _ = run(states, mpa_t, sc_t)
+    float(jnp.sum(states.pose))                     # sync
     elapsed = (time.perf_counter() - t0) / reps
     return batch * cfg.amount * cfg.k_end / elapsed, elapsed
 
@@ -84,15 +92,14 @@ def _latency(cfg, mpa_t, sc_t, n_steps=30):
         lambda st, kk, m, sc: make_prioritized_step(cfg, m, sc)(st, kk)
     )
     st = initial_state(sc_t, cfg.Hp)
-    jax.block_until_ready(
-        step(st, jnp.asarray(0, dtype=jnp.int32), mpa_t, sc_t)
-    )
+    st2, _ = step(st, jnp.asarray(0, dtype=jnp.int32), mpa_t, sc_t)
+    float(jnp.sum(st2.pose))                        # compile + sync
     lat = []
     for k in range(n_steps):
         t0 = time.perf_counter()
         st, _ = step(st, jnp.asarray(k % cfg.k_end, dtype=jnp.int32),
                      mpa_t, sc_t)
-        jax.block_until_ready(st)
+        float(jnp.sum(st.pose))                     # forced host fetch
         lat.append(time.perf_counter() - t0)
     arr = np.array(lat) * 1e3
     return float(np.percentile(arr, 95)), float(np.median(arr))
@@ -105,10 +112,6 @@ def main():
     cfg, mpa_t, sc_t = _build("commonroad", 20, 4.0, 256)
     solves_per_s, elapsed = _throughput(cfg, mpa_t, sc_t, batch)
     p95_ms, med_ms = _latency(cfg, mpa_t, sc_t)
-
-    # secondary: free-space circle at batch scale (throughput ceiling)
-    cfg_c, mpa_c, sc_c = _build("circle", 10, 4.0, 256)
-    solves_circle, _ = _throughput(cfg_c, mpa_c, sc_c, batch)
 
     result = {
         "metric": "vehicle_mpc_solves_per_s_per_chip",
@@ -123,7 +126,6 @@ def main():
             "p95_step_latency_ms": round(p95_ms, 2),
             "median_step_latency_ms": round(med_ms, 2),
             "realtime_budget_ms": 200.0,
-            "circle_10veh_solves_per_s": round(solves_circle, 1),
             "device": str(jax.devices()[0]),
         },
     }

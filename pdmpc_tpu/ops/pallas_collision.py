@@ -7,10 +7,17 @@ the projection tensor ``[candidates, obstacles, axes, vertices]`` in HBM —
 15 GB for a 32-scenario x 20-vehicle batch — because the min/max reduction
 cannot fuse into the dot_general.
 
-This kernel tiles candidates into VMEM blocks (lane dimension = candidate),
-keeps per-obstacle projection intermediates entirely in VMEM, and loops
-obstacles sequentially per tile: HBM traffic is exactly the candidate
-polygons in and one hit-mask out.
+Kernel design:
+- grid = (candidate tiles, obstacles): the hit-mask output block for a tile
+  is revisited across the obstacle dimension (innermost), so it stays
+  resident in VMEM and accumulates; candidate coordinates are laid out
+  vertex-major with the candidate index on the lane dimension.
+- no dynamic indexing: each grid step's obstacle row is delivered by the
+  BlockSpec index map.
+- every vector intermediate is 2D ([VA, T] or [1, T]); vertex loops are
+  statically unrolled (VA, VO <= 16).
+
+HBM traffic: candidate polygons in, one int32 mask out.
 
 Axis normalization is dropped: scaling an axis never changes the sign of a
 separation, so the boolean result matches intersect_sat.m exactly
@@ -31,19 +38,31 @@ TILE = 512
 
 
 def _sat_hits_kernel(cx_ref, cy_ref, ox_ref, oy_ref, mask_ref, out_ref):
-    """One tile: [VA, T] candidate coords vs all obstacles.
+    """Grid step: candidate tile (program 0) vs one obstacle (program 1).
 
-    cx/cy: [VA, T] candidate polygon coordinates (vertex-major, candidate
-    lanes); ox/oy: [n_obs, VO]; mask: [n_obs, 1] int32; out: [1, T] int32.
-
-    Mosaic-friendly: every vector intermediate is 2D ([VA, T] or [1, T]);
-    vertex loops are statically unrolled (VA, VO <= 16).
+    cx/cy: [VA, T]; ox/oy: [1, VO]; mask: [1, 1] int32; out: [1, T] int32
+    (revisited across the obstacle grid dimension).
     """
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
     cx = cx_ref[:]                                   # [VA, T]
     cy = cy_ref[:]
     va = cx.shape[0]
     t = cx.shape[1]
-    n_obs, vo = ox_ref.shape
+    n_obs_pad, vo = ox_ref.shape
+
+    # select this grid step's obstacle row by one-hot contraction (dynamic
+    # VMEM indexing is fragile in Mosaic; this is a tiny [n_obs, VO] op)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_obs_pad, 1), 0) == o
+    ).astype(cx.dtype)                               # [n_obs, 1]
+    ox_row = jnp.sum(ox_ref[:] * sel, axis=0, keepdims=True)   # [1, VO]
+    oy_row = jnp.sum(oy_ref[:] * sel, axis=0, keepdims=True)
+    mask_val = jnp.sum(mask_ref[:].astype(cx.dtype) * sel) > 0.5
 
     # candidate edge axes (unnormalized): a = (-ey, ex)
     ex = jnp.roll(cx, -1, axis=0) - cx               # [VA, T]
@@ -58,50 +77,40 @@ def _sat_hits_kernel(cx_ref, cy_ref, ox_ref, oy_ref, mask_ref, out_ref):
         min_cc = jnp.minimum(min_cc, p)
         max_cc = jnp.maximum(max_cc, p)
 
-    def obstacle_body(o, hit):
-        oxr = ox_ref[o]                              # [VO]
-        oyr = oy_ref[o]
+    # --- obstacle verts on candidate axes -----------------------------
+    min_ob = jnp.full((va, t), jnp.inf)
+    max_ob = jnp.full((va, t), -jnp.inf)
+    for v in range(vo):
+        p = ax * ox_row[0, v] + ay * oy_row[0, v]    # [VA, T]
+        min_ob = jnp.minimum(min_ob, p)
+        max_ob = jnp.maximum(max_ob, p)
+    sep = jnp.any(
+        (min_cc - max_ob > 0.0) | (min_ob - max_cc > 0.0),
+        axis=0, keepdims=True,
+    )                                                # [1, T]
 
-        # --- obstacle verts on candidate axes -------------------------
-        min_ob = jnp.full((va, t), jnp.inf)
-        max_ob = jnp.full((va, t), -jnp.inf)
+    # --- candidate verts on obstacle axes -----------------------------
+    for e in range(vo):
+        e2 = (e + 1) % vo
+        oax = -(oy_row[0, e2] - oy_row[0, e])        # scalar
+        oay = ox_row[0, e2] - ox_row[0, e]
+        # obstacle self-projection extent on this axis (scalars)
+        min_oo = jnp.inf
+        max_oo = -jnp.inf
         for v in range(vo):
-            p = ax * oxr[v] + ay * oyr[v]            # [VA, T]
-            min_ob = jnp.minimum(min_ob, p)
-            max_ob = jnp.maximum(max_ob, p)
-        sep = jnp.any(
-            (min_cc - max_ob > 0.0) | (min_ob - max_cc > 0.0),
-            axis=0, keepdims=True,
-        )                                            # [1, T]
+            pv = oax * ox_row[0, v] + oay * oy_row[0, v]
+            min_oo = jnp.minimum(min_oo, pv)
+            max_oo = jnp.maximum(max_oo, pv)
+        # candidate extent on this axis
+        q = oax * cx + oay * cy                      # [VA, T]
+        min_co = jnp.min(q, axis=0, keepdims=True)   # [1, T]
+        max_co = jnp.max(q, axis=0, keepdims=True)
+        sep = sep | (min_oo - max_co > 0.0) | (min_co - max_oo > 0.0)
 
-        # --- candidate verts on obstacle axes -------------------------
-        for e in range(vo):
-            e2 = (e + 1) % vo
-            oax = -(oyr[e2] - oyr[e])                # scalar
-            oay = oxr[e2] - oxr[e]
-            # obstacle self-projection extent on this axis (scalars)
-            min_oo = jnp.inf
-            max_oo = -jnp.inf
-            for v in range(vo):
-                pv = oax * oxr[v] + oay * oyr[v]
-                min_oo = jnp.minimum(min_oo, pv)
-                max_oo = jnp.maximum(max_oo, pv)
-            # candidate extent on this axis
-            q = oax * cx + oay * cy                  # [VA, T]
-            min_co = jnp.min(q, axis=0, keepdims=True)  # [1, T]
-            max_co = jnp.max(q, axis=0, keepdims=True)
-            sep = sep | (min_oo - max_co > 0.0) | (min_co - max_oo > 0.0)
-
-        collide = ~sep                               # [1, T]
-        active = mask_ref[o, 0] > 0
-        # int32 carry: Mosaic cannot legalize boolean-vector loop carries
-        return hit | (collide & active).astype(jnp.int32)
-
-    hit = jax.lax.fori_loop(
-        0, n_obs, obstacle_body,
-        jnp.zeros((1, t), dtype=jnp.int32),
-    )
-    out_ref[0, :] = hit[0]
+    collide = ~sep                                   # [1, T]
+    out_ref[...] = out_ref[...] | (
+        collide & mask_val
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -125,26 +134,32 @@ def candidate_collisions_pallas(man_polys: jax.Array, obs_polys: jax.Array,
     cx = cand[:, 0, :]                               # [VA, C_pad]
     cy = cand[:, 1, :]
 
+    # pad obstacles to a sublane-aligned count; whole-array blocks
+    n_obs_pad = max(8, -(-n_obs // 8) * 8)
     ox = obs_polys[..., 0]                           # [n_obs, VO]
     oy = obs_polys[..., 1]
-    mask_i32 = obs_mask.astype(jnp.int32)[:, None]   # [n_obs, 1]
+    if n_obs_pad != n_obs:
+        ox = jnp.pad(ox, ((0, n_obs_pad - n_obs), (0, 0)))
+        oy = jnp.pad(oy, ((0, n_obs_pad - n_obs), (0, 0)))
+        obs_mask = jnp.pad(obs_mask, (0, n_obs_pad - n_obs))
+    mask_i32 = obs_mask.astype(jnp.int32)[:, None]   # [n_obs_pad, 1]
 
     out = pl.pallas_call(
         _sat_hits_kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_obs),
         in_specs=[
-            pl.BlockSpec((va, TILE), lambda i: (0, i),
+            pl.BlockSpec((va, TILE), lambda i, o: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((va, TILE), lambda i: (0, i),
+            pl.BlockSpec((va, TILE), lambda i, o: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs, vo), lambda i: (0, 0),
+            pl.BlockSpec((n_obs_pad, vo), lambda i, o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs, vo), lambda i: (0, 0),
+            pl.BlockSpec((n_obs_pad, vo), lambda i, o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs, 1), lambda i: (0, 0),
+            pl.BlockSpec((n_obs_pad, 1), lambda i, o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, TILE), lambda i, o: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
         interpret=interpret,

@@ -95,11 +95,12 @@ def _sat_separates_batch(man_polys, obs_polys):
     )
 
 
-# Obstacles are processed in chunks of this size: bounds the materialized
-# SAT projection tensor to [C, OBS_CHUNK, VA+VB, max(VA,VB)] regardless of
-# the obstacle count (a single fused [C, n_obs, ...] tensor OOMs HBM for
-# large vehicle counts x scenario batches).
+# Chunk sizes bounding the materialized SAT projection tensor to
+# [CAND_CHUNK, OBS_CHUNK, VA+VB, max(VA,VB)] per (batch, vehicle) element
+# (a single fused [C, n_obs, ...] tensor OOMs HBM for large vehicle counts
+# x scenario batches; note outer vmaps multiply whatever peak this leaves).
 OBS_CHUNK = 8
+CAND_CHUNK = 512
 
 
 def candidate_collisions(man_polys, obs_polys, obs_mask):
@@ -110,10 +111,10 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     Returns [C] bool — True where the candidate hits any active obstacle.
 
     This is the hot inner loop of the framework (the eval_edge_exact
-    capability, GraphSearch.m:111-196). Obstacles are scanned in
-    fixed-size chunks to bound peak memory.
+    capability, GraphSearch.m:111-196). Both candidates and obstacles are
+    processed in fixed-size chunks to bound peak memory.
     """
-    c = man_polys.shape[0]
+    c, va = man_polys.shape[0], man_polys.shape[1]
     n_obs, vb = obs_polys.shape[0], obs_polys.shape[1]
     n_chunks = -(-n_obs // OBS_CHUNK)
     pad = n_chunks * OBS_CHUNK - n_obs
@@ -127,17 +128,40 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     obs_polys = obs_polys.reshape(n_chunks, OBS_CHUNK, vb, 2)
     obs_mask = obs_mask.reshape(n_chunks, OBS_CHUNK)
 
-    def body(hit, chunk):
-        polys, mask = chunk
-        sep = _sat_separates_batch(
-            man_polys[:, None, :, :], polys[None, :, :, :]
-        )  # [C, OBS_CHUNK]
-        return hit | jnp.any((~sep) & mask[None, :], axis=-1), None
+    def hits_for(cands):
+        def body(hit, chunk):
+            polys, mask = chunk
+            sep = _sat_separates_batch(
+                cands[:, None, :, :], polys[None, :, :, :]
+            )  # [CAND_CHUNK, OBS_CHUNK]
+            return hit | jnp.any((~sep) & mask[None, :], axis=-1), None
 
-    hit, _ = jax.lax.scan(
-        body, jnp.zeros((c,), dtype=bool), (obs_polys, obs_mask)
+        hit, _ = jax.lax.scan(
+            body, jnp.zeros((cands.shape[0],), dtype=bool),
+            (obs_polys, obs_mask),
+        )
+        return hit
+
+    if c <= CAND_CHUNK:
+        return hits_for(man_polys)
+
+    nc = -(-c // CAND_CHUNK)
+    c_pad = nc * CAND_CHUNK
+    if c_pad != c:
+        man_polys = jnp.concatenate(
+            [man_polys,
+             jnp.zeros((c_pad - c, va, 2), man_polys.dtype)],
+            axis=0,
+        )
+    hits = jax.lax.map(
+        hits_for, man_polys.reshape(nc, CAND_CHUNK, va, 2)
     )
-    return hit
+    return hits.reshape(c_pad)[:c]
+
+
+# Boundary segments per scanned chunk (bounds the [C, VA, SEG_CHUNK]
+# intersection tensor, which outer vmaps multiply by batch x vehicles).
+SEG_CHUNK = 64
 
 
 def candidate_boundary_violations(man_polys, boundary_segments,
@@ -150,25 +174,49 @@ def candidate_boundary_violations(man_polys, boundary_segments,
     InterX.m used by the boundary constraint in eval_edge_exact
     (are_constraints_satisfied_*.m). A vehicle that starts inside the
     drivable corridor and never crosses its boundary stays inside.
+    Segments are scanned in fixed chunks to bound peak memory.
     """
+    c = man_polys.shape[0]
+    n_seg = boundary_segments.shape[0]
     a1 = man_polys                                   # [C, VA, 2]
     a2 = jnp.roll(man_polys, -1, axis=-2)
-    b1 = boundary_segments[:, 0]                     # [S, 2]
-    b2 = boundary_segments[:, 1]
 
-    r = (a2 - a1)[:, :, None, :]                     # [C, VA, 1, 2]
-    s = (b2 - b1)[None, None, :, :]                  # [1, 1, S, 2]
-    qp = b1[None, None, :, :] - a1[:, :, None, :]    # [C, VA, S, 2]
-    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-    safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
-    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
-    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
-    hit = (
-        (jnp.abs(denom) >= 1e-9)
-        & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
-        & boundary_mask[None, None, :]
+    n_chunks = -(-n_seg // SEG_CHUNK)
+    pad = n_chunks * SEG_CHUNK - n_seg
+    if pad:
+        boundary_segments = jnp.concatenate(
+            [boundary_segments,
+             jnp.zeros((pad, 2, 2), boundary_segments.dtype)],
+            axis=0,
+        )
+        boundary_mask = jnp.concatenate(
+            [boundary_mask, jnp.zeros((pad,), dtype=bool)], axis=0
+        )
+    segs = boundary_segments.reshape(n_chunks, SEG_CHUNK, 2, 2)
+    masks = boundary_mask.reshape(n_chunks, SEG_CHUNK)
+
+    def body(hit, chunk):
+        seg, mask = chunk
+        b1 = seg[:, 0]                               # [S', 2]
+        b2 = seg[:, 1]
+        r = (a2 - a1)[:, :, None, :]                 # [C, VA, 1, 2]
+        s = (b2 - b1)[None, None, :, :]              # [1, 1, S', 2]
+        qp = b1[None, None, :, :] - a1[:, :, None, :]
+        denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+        safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+        t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
+        u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
+        crossed = (
+            (jnp.abs(denom) >= 1e-9)
+            & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+            & mask[None, None, :]
+        )
+        return hit | jnp.any(crossed, axis=(-1, -2)), None
+
+    hit, _ = jax.lax.scan(
+        body, jnp.zeros((c,), dtype=bool), (segs, masks)
     )
-    return jnp.any(hit, axis=(-1, -2))               # [C]
+    return hit
 
 
 def _cost_to_go(pos, ref_points, v_ref, k_child, dt):
