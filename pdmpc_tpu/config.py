@@ -226,10 +226,12 @@ class Config:
     # Rollout budget of the sampled (MCTS-equivalent) optimizer; the
     # reference spends 250 tree expansions (MonteCarloTreeSearch.m:8).
     mcts_n_rollouts: int = 256
-    # Pallas TPU kernel for the SAT collision mask (opt-in; the chunked XLA
-    # path is the default). The kernel avoids materializing the
-    # [candidates x obstacles x axes x vertices] projection tensor in HBM.
-    use_pallas_collision: bool = False
+    # Pallas TPU kernel for the SAT collision mask (None = auto: on for TPU
+    # backends, off for CPU). The kernel avoids materializing the
+    # [candidates x obstacles x axes x vertices] projection tensor in HBM
+    # and runs ~3x faster than the f32-precision XLA path (microbench:
+    # C=3072, 128 obstacles, v5e).
+    use_pallas_collision: bool | None = None
 
     # ---- Dependent properties (Config.m:53-101)
     @property

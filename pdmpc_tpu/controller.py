@@ -481,7 +481,11 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     max_num_cls = min(cfg.max_num_CLs, n)
     use_reachability = cfg.isDealPredictionInconsistency
     successor_mode = cfg.constraint_from_successor
-    use_pallas = bool(cfg.use_pallas_collision)
+    use_pallas = (
+        cfg.use_pallas_collision
+        if cfg.use_pallas_collision is not None
+        else jax.default_backend() not in ("cpu",)
+    )
     if comm_factory is None:
         comm_factory = lambda: LocalComm(n)  # noqa: E731
 

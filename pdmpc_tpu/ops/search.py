@@ -84,8 +84,13 @@ def _sat_separates_batch(man_polys, obs_polys):
         return ax / jnp.maximum(n, 1e-9)
 
     def separated_on(axes, a, b):
-        pa = jnp.einsum("...kd,...vd->...kv", axes, a)
-        pb = jnp.einsum("...kd,...vd->...kv", axes, b)
+        # d=2 contraction; force f32 accumulation — the MXU's default bf16
+        # inputs flip marginal separations (observed vs the f32 Pallas
+        # kernel and the CPU backend on touching polygons)
+        pa = jnp.einsum("...kd,...vd->...kv", axes, a,
+                        precision=jax.lax.Precision.HIGHEST)
+        pb = jnp.einsum("...kd,...vd->...kv", axes, b,
+                        precision=jax.lax.Precision.HIGHEST)
         d1 = jnp.min(pa, axis=-1) - jnp.max(pb, axis=-1)
         d2 = jnp.min(pb, axis=-1) - jnp.max(pa, axis=-1)
         return jnp.any((d1 > 0) | (d2 > 0), axis=-1)
@@ -95,12 +100,16 @@ def _sat_separates_batch(man_polys, obs_polys):
     )
 
 
-# Chunk sizes bounding the materialized SAT projection tensor to
-# [CAND_CHUNK, OBS_CHUNK, VA+VB, max(VA,VB)] per (batch, vehicle) element
-# (a single fused [C, n_obs, ...] tensor OOMs HBM for large vehicle counts
-# x scenario batches; note outer vmaps multiply whatever peak this leaves).
+# Obstacles are processed in chunks of this size: bounds the materialized
+# SAT projection tensor to [C, OBS_CHUNK, VA+VB, max(VA,VB)] regardless of
+# the obstacle count (a single fused [C, n_obs, ...] tensor OOMs HBM for
+# large vehicle counts x scenario batches). Candidates and boundary
+# segments stay FUSED: chunking them (lax.map over candidate tiles /
+# per-segment-chunk scans) was measured to cost >1000x throughput on TPU —
+# the scan carries force HBM round-trips between tiny kernels. Peak memory
+# for very large Monte-Carlo sweeps is bounded at the host level by
+# splitting the scenario batch, not inside the kernel.
 OBS_CHUNK = 8
-CAND_CHUNK = 512
 
 
 def candidate_collisions(man_polys, obs_polys, obs_mask):
@@ -111,10 +120,10 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     Returns [C] bool — True where the candidate hits any active obstacle.
 
     This is the hot inner loop of the framework (the eval_edge_exact
-    capability, GraphSearch.m:111-196). Both candidates and obstacles are
-    processed in fixed-size chunks to bound peak memory.
+    capability, GraphSearch.m:111-196). Obstacles are scanned in
+    fixed-size chunks to bound peak memory.
     """
-    c, va = man_polys.shape[0], man_polys.shape[1]
+    c = man_polys.shape[0]
     n_obs, vb = obs_polys.shape[0], obs_polys.shape[1]
     n_chunks = -(-n_obs // OBS_CHUNK)
     pad = n_chunks * OBS_CHUNK - n_obs
@@ -128,40 +137,17 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     obs_polys = obs_polys.reshape(n_chunks, OBS_CHUNK, vb, 2)
     obs_mask = obs_mask.reshape(n_chunks, OBS_CHUNK)
 
-    def hits_for(cands):
-        def body(hit, chunk):
-            polys, mask = chunk
-            sep = _sat_separates_batch(
-                cands[:, None, :, :], polys[None, :, :, :]
-            )  # [CAND_CHUNK, OBS_CHUNK]
-            return hit | jnp.any((~sep) & mask[None, :], axis=-1), None
+    def body(hit, chunk):
+        polys, mask = chunk
+        sep = _sat_separates_batch(
+            man_polys[:, None, :, :], polys[None, :, :, :]
+        )  # [C, OBS_CHUNK]
+        return hit | jnp.any((~sep) & mask[None, :], axis=-1), None
 
-        hit, _ = jax.lax.scan(
-            body, jnp.zeros((cands.shape[0],), dtype=bool),
-            (obs_polys, obs_mask),
-        )
-        return hit
-
-    if c <= CAND_CHUNK:
-        return hits_for(man_polys)
-
-    nc = -(-c // CAND_CHUNK)
-    c_pad = nc * CAND_CHUNK
-    if c_pad != c:
-        man_polys = jnp.concatenate(
-            [man_polys,
-             jnp.zeros((c_pad - c, va, 2), man_polys.dtype)],
-            axis=0,
-        )
-    hits = jax.lax.map(
-        hits_for, man_polys.reshape(nc, CAND_CHUNK, va, 2)
+    hit, _ = jax.lax.scan(
+        body, jnp.zeros((c,), dtype=bool), (obs_polys, obs_mask)
     )
-    return hits.reshape(c_pad)[:c]
-
-
-# Boundary segments per scanned chunk (bounds the [C, VA, SEG_CHUNK]
-# intersection tensor, which outer vmaps multiply by batch x vehicles).
-SEG_CHUNK = 64
+    return hit
 
 
 def candidate_boundary_violations(man_polys, boundary_segments,
@@ -174,49 +160,25 @@ def candidate_boundary_violations(man_polys, boundary_segments,
     InterX.m used by the boundary constraint in eval_edge_exact
     (are_constraints_satisfied_*.m). A vehicle that starts inside the
     drivable corridor and never crosses its boundary stays inside.
-    Segments are scanned in fixed chunks to bound peak memory.
     """
-    c = man_polys.shape[0]
-    n_seg = boundary_segments.shape[0]
     a1 = man_polys                                   # [C, VA, 2]
     a2 = jnp.roll(man_polys, -1, axis=-2)
+    b1 = boundary_segments[:, 0]                     # [S, 2]
+    b2 = boundary_segments[:, 1]
 
-    n_chunks = -(-n_seg // SEG_CHUNK)
-    pad = n_chunks * SEG_CHUNK - n_seg
-    if pad:
-        boundary_segments = jnp.concatenate(
-            [boundary_segments,
-             jnp.zeros((pad, 2, 2), boundary_segments.dtype)],
-            axis=0,
-        )
-        boundary_mask = jnp.concatenate(
-            [boundary_mask, jnp.zeros((pad,), dtype=bool)], axis=0
-        )
-    segs = boundary_segments.reshape(n_chunks, SEG_CHUNK, 2, 2)
-    masks = boundary_mask.reshape(n_chunks, SEG_CHUNK)
-
-    def body(hit, chunk):
-        seg, mask = chunk
-        b1 = seg[:, 0]                               # [S', 2]
-        b2 = seg[:, 1]
-        r = (a2 - a1)[:, :, None, :]                 # [C, VA, 1, 2]
-        s = (b2 - b1)[None, None, :, :]              # [1, 1, S', 2]
-        qp = b1[None, None, :, :] - a1[:, :, None, :]
-        denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-        safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
-        t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
-        u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
-        crossed = (
-            (jnp.abs(denom) >= 1e-9)
-            & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
-            & mask[None, None, :]
-        )
-        return hit | jnp.any(crossed, axis=(-1, -2)), None
-
-    hit, _ = jax.lax.scan(
-        body, jnp.zeros((c,), dtype=bool), (segs, masks)
+    r = (a2 - a1)[:, :, None, :]                     # [C, VA, 1, 2]
+    s = (b2 - b1)[None, None, :, :]                  # [1, 1, S, 2]
+    qp = b1[None, None, :, :] - a1[:, :, None, :]    # [C, VA, S, 2]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
+    hit = (
+        (jnp.abs(denom) >= 1e-9)
+        & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        & boundary_mask[None, None, :]
     )
-    return hit
+    return jnp.any(hit, axis=(-1, -2))               # [C]
 
 
 def _cost_to_go(pos, ref_points, v_ref, k_child, dt):
