@@ -518,8 +518,18 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             bnd_segs, bnd_mask = jax.vmap(boundary_for)(
                 gidx, seg_idx, proj_seg
             )
+            if use_pallas:
+                from pdmpc_tpu.ops import pallas_collision as pk
+
+                # segment geometry is level- and layer-invariant: one
+                # precompute per step feeds every planning pass
+                seg_pre = jax.vmap(pk.precompute_segments)(
+                    bnd_segs, bnd_mask
+                )
+            else:
+                seg_pre = None
         else:
-            bnd_segs = bnd_mask = None
+            bnd_segs = bnd_mask = seg_pre = None
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
@@ -643,7 +653,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                     axis=0,
                 )                                        # [5N, Hp, VO, 2]
 
-                def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm):
+                def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp):
                     obstacles = Obstacles(
                         polys=obs_polys,
                         mask=jnp.broadcast_to(mask[:, None], (5 * n, hp)),
@@ -653,7 +663,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                             mpa, pose, trim, ref_p, vr, obstacles, dt,
                             cfg.beam_width,
                             boundary_segments=bs, boundary_mask=bm,
-                            use_pallas=use_pallas,
+                            use_pallas=use_pallas, segments_pre=sp,
                         )
                     # sampled search, seeded per (seed, step, vehicle) like
                     # MonteCarloTreeSearch.m:31
@@ -670,12 +680,12 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 if bnd_segs is not None:
                     result = jax.vmap(plan_v)(
                         gidx, state.pose, state.trim, ref_points, v_ref,
-                        obs_mask_l, bnd_segs, bnd_mask,
+                        obs_mask_l, bnd_segs, bnd_mask, seg_pre,
                     )
                 else:
                     result = jax.vmap(
                         lambda i, pose, trim, ref_p, vr, mask: plan_v(
-                            i, pose, trim, ref_p, vr, mask, None, None
+                            i, pose, trim, ref_p, vr, mask, None, None, None
                         )
                     )(gidx, state.pose, state.trim, ref_points, v_ref,
                       obs_mask_l)

@@ -1,116 +1,339 @@
-"""Pallas TPU kernel for the batched SAT collision mask — the hot op.
+"""Pallas TPU kernels for the hot geometry ops: SAT collision mask and
+lanelet-boundary crossing.
 
 The framework's inner loop checks every (candidate swept area x obstacle)
-pair with the separating-axis theorem (the eval_edge_exact capability,
-GraphSearch.m:111-196 / intersect_sat.m). The XLA formulation materializes
-the projection tensor ``[candidates, obstacles, axes, vertices]`` in HBM —
-15 GB for a 32-scenario x 20-vehicle batch — because the min/max reduction
-cannot fuse into the dot_general.
+pair with the separating-axis theorem and every candidate edge against the
+lanelet boundary (the eval_edge_exact capability, GraphSearch.m:111-196 /
+intersect_sat.m / intersect_lanelet_boundary.m). The XLA formulation
+materializes huge intermediates in HBM ([C, n_obs, axes, verts] / [C, VA,
+n_segments]) that multiply under the vehicle/scenario vmaps; the kernels
+keep everything in VMEM and emit only a [C] mask.
 
-Kernel design:
-- grid = (candidate tiles, obstacles): the hit-mask output block for a tile
-  is revisited across the obstacle dimension (innermost), so it stays
-  resident in VMEM and accumulates; candidate coordinates are laid out
-  vertex-major with the candidate index on the lane dimension.
-- no dynamic indexing: each grid step's obstacle row is delivered by the
-  BlockSpec index map.
-- every vector intermediate is 2D ([VA, T] or [1, T]); vertex loops are
-  statically unrolled (VA, VO <= 16).
-
-HBM traffic: candidate polygons in, one int32 mask out.
+Kernel design (both kernels share it):
+- grid = (candidate tiles, obstacle/segment GROUPS). The output block for a
+  tile is revisited across the group dimension (innermost), so it stays
+  resident in VMEM and accumulates.
+- candidate-tile geometry (axes / edges / self-extents) is hoisted into
+  VMEM scratch at the first group step of each tile — computed once per
+  tile instead of once per (tile, obstacle).
+- obstacle self-geometry (edge axes + own-axis extents + bounding boxes) is
+  precomputed OUTSIDE the per-layer call (`precompute_obstacles` /
+  `precompute_segments`): it is candidate-independent, so the planner
+  computes it once per planning pass instead of once per search layer.
+- the planner-facing entry points (`sat_hits_pre`, `boundary_hits_pre`)
+  take candidates in the kernel-native vertex-major [VA, C] layout, so the
+  caller can produce them directly from its pose transforms — the naive
+  [C, VA, 2] -> [VA, 2, C] transpose has a 2-wide minor dimension and was
+  measured to dominate the whole call.
+- data-dependent WORK SKIPPING: a per-(tile, group) skip scalar and a
+  per-(tile, obstacle) fine mask live in SMEM; `pl.when` skips the entire
+  group / individual obstacles whose mask is off or whose bounding box
+  cannot overlap the candidate tile's bounding box. Compute is then
+  proportional to the *active* pairs (the sparse work the reference's A*
+  does lazily), at dense VPU throughput.
+- every vector intermediate is 2D ([VA_PAD, T] or [1, T]); vertex loops are
+  statically unrolled.
 
 Axis normalization is dropped: scaling an axis never changes the sign of a
 separation, so the boolean result matches intersect_sat.m exactly
-(degenerate padded edges give zero axes which never separate).
+(degenerate repeated-vertex edges give zero axes which never separate).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Candidates per kernel instance (lane dimension).
-TILE = 512
+# Candidates per kernel instance (lane dimension). Fat tiles: the per-call
+# fixed costs dominate when most (tile, group) pairs are skipped, so fewer,
+# larger steps win; VMEM stays < 1 MB per instance.
+TILE = 1536
+# Candidate polygon vertices are padded to this sublane count (the swept
+# maneuver areas have 4-6 vertices; 8 = one VPU register row).
+VA_PAD = 8
+# Obstacles / boundary segments per grid step (amortizes grid overhead;
+# within a group each item is individually `pl.when`-predicated).
+OBS_GROUP = 32
+SEG_GROUP = 32
+
+_HIGH = jax.lax.Precision.HIGHEST
 
 
-def _sat_hits_kernel(cx_ref, cy_ref, ox_ref, oy_ref, mask_ref, out_ref):
-    """Grid step: candidate tile (program 0) vs one obstacle (program 1).
+def _pad_axis(arr, n, axis, mode="zero"):
+    pad = n - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    if mode == "edge":
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(-1, None)
+        tail = jnp.broadcast_to(
+            arr[tuple(idx)],
+            arr.shape[:axis] + (pad,) + arr.shape[axis + 1:],
+        )
+    else:
+        tail = jnp.zeros(
+            arr.shape[:axis] + (pad,) + arr.shape[axis + 1:], arr.dtype
+        )
+    return jnp.concatenate([arr, tail], axis=axis)
 
-    cx/cy: [VA, T]; ox/oy: [1, VO]; mask: [1, 1] int32; out: [1, T] int32
-    (revisited across the obstacle grid dimension).
+
+def _tile_bboxes(cx, cy, n_tiles):
+    """[n_tiles, 4] (minx, maxx, miny, maxy) over each candidate tile."""
+    cxt = cx.reshape(cx.shape[0], n_tiles, TILE)
+    cyt = cy.reshape(cy.shape[0], n_tiles, TILE)
+    return jnp.stack(
+        [
+            jnp.min(cxt, axis=(0, 2)),
+            jnp.max(cxt, axis=(0, 2)),
+            jnp.min(cyt, axis=(0, 2)),
+            jnp.max(cyt, axis=(0, 2)),
+        ],
+        axis=-1,
+    )
+
+
+def _bbox_overlap(tiles, boxes):
+    """tiles [n_tiles, 4] x boxes [M, 4] -> [n_tiles, M] bool."""
+    return (
+        (tiles[:, None, 0] <= boxes[None, :, 1])
+        & (tiles[:, None, 1] >= boxes[None, :, 0])
+        & (tiles[:, None, 2] <= boxes[None, :, 3])
+        & (tiles[:, None, 3] >= boxes[None, :, 2])
+    )
+
+
+def _pad_candidates(cx, cy):
+    """Pad [VA, C] candidate coords to ([VA_PAD*], [TILE*]) multiples.
+
+    The vertex rows pad by repeating the last row (degenerate zero axes
+    never separate); the candidate columns pad by repeating the last
+    column (keeps tile bounding boxes tight).
     """
-    o = pl.program_id(1)
+    va = cx.shape[0]
+    va_pad = max(VA_PAD, -(-va // VA_PAD) * VA_PAD)
+    n_tiles = -(-cx.shape[1] // TILE)
+    c_pad = n_tiles * TILE
+    cx = _pad_axis(_pad_axis(cx, va_pad, 0, "edge"), c_pad, 1, "edge")
+    cy = _pad_axis(_pad_axis(cy, va_pad, 0, "edge"), c_pad, 1, "edge")
+    return cx, cy, n_tiles
 
-    @pl.when(o == 0)
+
+# ---------------------------------------------------------------------------
+# Precomputed obstacle / segment bundles (candidate-independent geometry)
+# ---------------------------------------------------------------------------
+
+
+class ObstaclesPre(NamedTuple):
+    """SAT obstacle bundle; all fields [..., NO_pad, VO] / [..., NO_pad, 4].
+
+    Vectorizes over arbitrary leading batch dims (e.g. Hp).
+    """
+
+    ox: jax.Array
+    oy: jax.Array
+    oax: jax.Array
+    oay: jax.Array
+    omn: jax.Array
+    omx: jax.Array
+    bbox: jax.Array          # [..., NO_pad, 4]
+    mask: jax.Array          # [..., NO_pad] int32
+
+
+def precompute_obstacles(obs_polys: jax.Array,
+                         obs_mask: jax.Array) -> ObstaclesPre:
+    """obs_polys [..., NO, VO, 2], obs_mask [..., NO] -> ObstaclesPre."""
+    n_obs = obs_polys.shape[-3]
+    no_pad = -(-n_obs // OBS_GROUP) * OBS_GROUP
+    obs = _pad_axis(obs_polys, no_pad, axis=obs_polys.ndim - 3)
+    mask = _pad_axis(obs_mask.astype(jnp.int32), no_pad,
+                     axis=obs_mask.ndim - 1)
+    edge = jnp.roll(obs, -1, axis=-2) - obs
+    oaxes = jnp.stack([-edge[..., 1], edge[..., 0]], axis=-1)
+    proj = jnp.einsum("...oad,...ovd->...oav", oaxes, obs, precision=_HIGH)
+    bbox = jnp.stack(
+        [
+            jnp.min(obs[..., 0], axis=-1),
+            jnp.max(obs[..., 0], axis=-1),
+            jnp.min(obs[..., 1], axis=-1),
+            jnp.max(obs[..., 1], axis=-1),
+        ],
+        axis=-1,
+    )
+    return ObstaclesPre(
+        ox=obs[..., 0], oy=obs[..., 1],
+        oax=oaxes[..., 0], oay=oaxes[..., 1],
+        omn=jnp.min(proj, axis=-1), omx=jnp.max(proj, axis=-1),
+        bbox=bbox, mask=mask,
+    )
+
+
+class SegmentsPre(NamedTuple):
+    """Boundary segment bundle; fields [..., S_pad, 1] / [..., S_pad, 4]."""
+
+    sx: jax.Array
+    sy: jax.Array
+    b1x: jax.Array
+    b1y: jax.Array
+    cb: jax.Array            # b1 x s
+    bbox: jax.Array          # [..., S_pad, 4]
+    mask: jax.Array          # [..., S_pad] int32
+
+
+def precompute_segments(segments: jax.Array,
+                        seg_mask: jax.Array) -> SegmentsPre:
+    """segments [..., S, 2, 2], seg_mask [..., S] -> SegmentsPre."""
+    s = segments.shape[-3]
+    s_pad = -(-s // SEG_GROUP) * SEG_GROUP
+    segs = _pad_axis(segments, s_pad, axis=segments.ndim - 3)
+    mask = _pad_axis(seg_mask.astype(jnp.int32), s_pad,
+                     axis=seg_mask.ndim - 1)
+    b1 = segs[..., 0, :]
+    b2 = segs[..., 1, :]
+    sdir = b2 - b1
+    cb = b1[..., 0] * sdir[..., 1] - b1[..., 1] * sdir[..., 0]
+    bbox = jnp.stack(
+        [
+            jnp.minimum(b1[..., 0], b2[..., 0]),
+            jnp.maximum(b1[..., 0], b2[..., 0]),
+            jnp.minimum(b1[..., 1], b2[..., 1]),
+            jnp.maximum(b1[..., 1], b2[..., 1]),
+        ],
+        axis=-1,
+    )
+    return SegmentsPre(
+        sx=sdir[..., 0, None], sy=sdir[..., 1, None],
+        b1x=b1[..., 0, None], b1y=b1[..., 1, None], cb=cb[..., None],
+        bbox=bbox, mask=mask,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAT collision kernel
+# ---------------------------------------------------------------------------
+
+
+def _sat_kernel(ox_ref, oy_ref, oax_ref, oay_ref, omn_ref, omx_ref,
+                cx_ref, cy_ref, fine_ref, gskip_ref, out_ref,
+                ax_s, ay_s, mn_s, mx_s):
+    """Grid step: candidate tile (program 0) vs one obstacle group.
+
+    ox/oy/oax/oay/omn/omx: [G, VO] — group's vertices, edge axes, own-axis
+    extents. cx/cy: [VA_PAD, T]. fine: [n_tiles, NO_pad] SMEM (full);
+    gskip: [n_tiles, n_groups] SMEM (full).
+    out: [1, T] int32, revisited across the group grid dimension.
+    """
+    i = pl.program_id(0)
+    og = pl.program_id(1)
+    vo = ox_ref.shape[1]
+
+    @pl.when(og == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        cx = cx_ref[:]                                    # [VA_PAD, T]
+        cy = cy_ref[:]
+        va = cx.shape[0]
+        ex = pltpu.roll(cx, cx.shape[0] - 1, axis=0) - cx
+        ey = pltpu.roll(cy, cy.shape[0] - 1, axis=0) - cy
+        ax = -ey
+        ay = ex
+        ax_s[...] = ax
+        ay_s[...] = ay
+        mn = jnp.full_like(cx, jnp.inf)
+        mx = jnp.full_like(cx, -jnp.inf)
+        for v in range(va):
+            p = ax * cx[v][None, :] + ay * cy[v][None, :]
+            mn = jnp.minimum(mn, p)
+            mx = jnp.maximum(mx, p)
+        mn_s[...] = mn
+        mx_s[...] = mx
 
-    cx = cx_ref[:]                                   # [VA, T]
-    cy = cy_ref[:]
-    va = cx.shape[0]
-    t = cx.shape[1]
-    n_obs_pad, vo = ox_ref.shape
+    @pl.when(gskip_ref[i, og] == 0)
+    def _():
+        cx = cx_ref[:]
+        cy = cy_ref[:]
+        ax = ax_s[:]
+        ay = ay_s[:]
+        mn_cc = mn_s[:]
+        mx_cc = mx_s[:]
+        for j in range(ox_ref.shape[0]):
+            @pl.when(fine_ref[i, og * ox_ref.shape[0] + j] > 0)
+            def _(j=j):
+                # obstacle verts on candidate axes
+                mn_ob = jnp.full_like(cx, jnp.inf)
+                mx_ob = jnp.full_like(cx, -jnp.inf)
+                for v in range(vo):
+                    p = ax * ox_ref[j, v] + ay * oy_ref[j, v]
+                    mn_ob = jnp.minimum(mn_ob, p)
+                    mx_ob = jnp.maximum(mx_ob, p)
+                sep = jnp.any(
+                    (mn_cc - mx_ob > 0.0) | (mn_ob - mx_cc > 0.0),
+                    axis=0, keepdims=True,
+                )                                        # [1, T]
+                # candidate verts on obstacle axes (own extents precomputed)
+                for e in range(vo):
+                    q = oax_ref[j, e] * cx + oay_ref[j, e] * cy
+                    mn_q = jnp.min(q, axis=0, keepdims=True)
+                    mx_q = jnp.max(q, axis=0, keepdims=True)
+                    sep = sep | (omn_ref[j, e] - mx_q > 0.0) | (
+                        mn_q - omx_ref[j, e] > 0.0
+                    )
+                out_ref[...] = out_ref[...] | (~sep).astype(jnp.int32)
 
-    # select this grid step's obstacle row by one-hot contraction (dynamic
-    # VMEM indexing is fragile in Mosaic; this is a tiny [n_obs, VO] op)
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_obs_pad, 1), 0) == o
-    ).astype(cx.dtype)                               # [n_obs, 1]
-    ox_row = jnp.sum(ox_ref[:] * sel, axis=0, keepdims=True)   # [1, VO]
-    oy_row = jnp.sum(oy_ref[:] * sel, axis=0, keepdims=True)
-    mask_val = jnp.sum(mask_ref[:].astype(cx.dtype) * sel) > 0.5
 
-    # candidate edge axes (unnormalized): a = (-ey, ex)
-    ex = jnp.roll(cx, -1, axis=0) - cx               # [VA, T]
-    ey = jnp.roll(cy, -1, axis=0) - cy
-    ax, ay = -ey, ex
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sat_hits_pre(cx: jax.Array, cy: jax.Array, pre: ObstaclesPre,
+                 interpret: bool = False) -> jax.Array:
+    """SAT collision mask for kernel-native candidates.
 
-    # candidate self-projections on own axes: min/max over VA verts
-    min_cc = jnp.full((va, t), jnp.inf)
-    max_cc = jnp.full((va, t), -jnp.inf)
-    for v in range(va):
-        p = ax * cx[v][None, :] + ay * cy[v][None, :]   # [VA, T]
-        min_cc = jnp.minimum(min_cc, p)
-        max_cc = jnp.maximum(max_cc, p)
+    cx/cy: [VA, C] candidate vertex coords (vertex-major); pre: obstacle
+    bundle from `precompute_obstacles` (no leading batch dims here — vmap
+    for batching). Returns [C] bool.
+    """
+    c = cx.shape[1]
+    cx, cy, n_tiles = _pad_candidates(cx, cy)
+    va_pad, c_pad = cx.shape
+    no_pad = pre.ox.shape[0]
+    vo = pre.ox.shape[1]
+    n_groups = no_pad // OBS_GROUP
 
-    # --- obstacle verts on candidate axes -----------------------------
-    min_ob = jnp.full((va, t), jnp.inf)
-    max_ob = jnp.full((va, t), -jnp.inf)
-    for v in range(vo):
-        p = ax * ox_row[0, v] + ay * oy_row[0, v]    # [VA, T]
-        min_ob = jnp.minimum(min_ob, p)
-        max_ob = jnp.maximum(max_ob, p)
-    sep = jnp.any(
-        (min_cc - max_ob > 0.0) | (min_ob - max_cc > 0.0),
-        axis=0, keepdims=True,
-    )                                                # [1, T]
+    tiles = _tile_bboxes(cx, cy, n_tiles)
+    fine = (_bbox_overlap(tiles, pre.bbox) & (pre.mask > 0)[None, :]).astype(
+        jnp.int32
+    )                                                    # [n_tiles, NO_pad]
+    gskip = (
+        ~jnp.any(fine.reshape(n_tiles, n_groups, OBS_GROUP) > 0, axis=-1)
+    ).astype(jnp.int32)                                  # [n_tiles, n_groups]
 
-    # --- candidate verts on obstacle axes -----------------------------
-    for e in range(vo):
-        e2 = (e + 1) % vo
-        oax = -(oy_row[0, e2] - oy_row[0, e])        # scalar
-        oay = ox_row[0, e2] - ox_row[0, e]
-        # obstacle self-projection extent on this axis (scalars)
-        min_oo = jnp.inf
-        max_oo = -jnp.inf
-        for v in range(vo):
-            pv = oax * ox_row[0, v] + oay * oy_row[0, v]
-            min_oo = jnp.minimum(min_oo, pv)
-            max_oo = jnp.maximum(max_oo, pv)
-        # candidate extent on this axis
-        q = oax * cx + oay * cy                      # [VA, T]
-        min_co = jnp.min(q, axis=0, keepdims=True)   # [1, T]
-        max_co = jnp.max(q, axis=0, keepdims=True)
-        sep = sep | (min_oo - max_co > 0.0) | (min_co - max_oo > 0.0)
-
-    collide = ~sep                                   # [1, T]
-    out_ref[...] = out_ref[...] | (
-        collide & mask_val
-    ).astype(jnp.int32)
+    obs_spec = pl.BlockSpec((OBS_GROUP, vo), lambda i, o: (o, 0),
+                            memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((va_pad, TILE), lambda i, o: (0, i),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _sat_kernel,
+        grid=(n_tiles, n_groups),
+        in_specs=[obs_spec] * 6 + [
+            cand_spec, cand_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda i, o: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ax
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ay
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # mn_cc
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # mx_cc
+        ],
+        interpret=interpret,
+    )(pre.ox, pre.oy, pre.oax, pre.oay, pre.omn, pre.omx,
+      cx, cy, fine, gskip)
+    return out[0, :c].astype(bool)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -120,48 +343,130 @@ def candidate_collisions_pallas(man_polys: jax.Array, obs_polys: jax.Array,
     """Pallas drop-in for ops.search.candidate_collisions.
 
     man_polys: [C, VA, 2]; obs_polys: [n_obs, VO, 2]; obs_mask: [n_obs].
-    Returns [C] bool.
+    Returns [C] bool. (Compatibility wrapper — the planner uses
+    `sat_hits_pre` with candidates already in kernel-native layout.)
     """
-    c, va = man_polys.shape[0], man_polys.shape[1]
-    n_obs, vo = obs_polys.shape[0], obs_polys.shape[1]
+    cand = jnp.moveaxis(man_polys, 0, -1)                # [VA, 2, C]
+    pre = precompute_obstacles(obs_polys, obs_mask)
+    return sat_hits_pre(cand[:, 0, :], cand[:, 1, :], pre,
+                        interpret=interpret)
 
-    n_tiles = -(-c // TILE)
-    c_pad = n_tiles * TILE
-    # vertex-major candidate layout: lane dim = candidate index
-    cand = jnp.moveaxis(man_polys, 0, -1)            # [VA, 2, C]
-    if c_pad != c:
-        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, c_pad - c)))
-    cx = cand[:, 0, :]                               # [VA, C_pad]
-    cy = cand[:, 1, :]
 
-    # pad obstacles to a sublane-aligned count; whole-array blocks
-    n_obs_pad = max(8, -(-n_obs // 8) * 8)
-    ox = obs_polys[..., 0]                           # [n_obs, VO]
-    oy = obs_polys[..., 1]
-    if n_obs_pad != n_obs:
-        ox = jnp.pad(ox, ((0, n_obs_pad - n_obs), (0, 0)))
-        oy = jnp.pad(oy, ((0, n_obs_pad - n_obs), (0, 0)))
-        obs_mask = jnp.pad(obs_mask, (0, n_obs_pad - n_obs))
-    mask_i32 = obs_mask.astype(jnp.int32)[:, None]   # [n_obs_pad, 1]
+# ---------------------------------------------------------------------------
+# Lanelet-boundary crossing kernel
+# ---------------------------------------------------------------------------
 
+
+def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
+                     cx_ref, cy_ref, fine_ref, gskip_ref, out_ref,
+                     ex_s, ey_s):
+    """Grid step: candidate tile (program 0) vs one segment group.
+
+    sx/sy: [G, 1] segment directions; b1x/b1y: [G, 1] segment start points;
+    cb: [G, 1] = b1 x s (precomputed); cx/cy: [VA_PAD, T] candidate verts;
+    fine: [n_tiles, S_pad] SMEM (full); gskip: [n_tiles, n_groups] SMEM
+    (full); out: [1, T] int32.
+
+    Division-free segment intersection: with d = r x s, A = (b1 - a1) x s,
+    B = (b1 - a1) x r, the segments cross iff |d| >= eps and A/d, B/d are
+    both in [0, 1] — equivalently A*d >= 0, |A| <= |d|, B*d >= 0,
+    |B| <= |d| (same predicate as the XLA path without the divides).
+    """
+    i = pl.program_id(0)
+    og = pl.program_id(1)
+
+    @pl.when(og == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cx = cx_ref[:]
+        cy = cy_ref[:]
+        ex_s[...] = pltpu.roll(cx, cx.shape[0] - 1, axis=0) - cx
+        ey_s[...] = pltpu.roll(cy, cy.shape[0] - 1, axis=0) - cy
+
+    @pl.when(gskip_ref[i, og] == 0)
+    def _():
+        a1x = cx_ref[:]                                  # [VA_PAD, T]
+        a1y = cy_ref[:]
+        ex = ex_s[:]
+        ey = ey_s[:]
+        for j in range(sx_ref.shape[0]):
+            @pl.when(fine_ref[i, og * sx_ref.shape[0] + j] > 0)
+            def _(j=j):
+                sx = sx_ref[j, 0]
+                sy = sy_ref[j, 0]
+                d = ex * sy - ey * sx                    # r x s   [VA, T]
+                a_num = cb_ref[j, 0] - (a1x * sy - a1y * sx)   # qp x s
+                b_num = (b1x_ref[j, 0] - a1x) * ey - (
+                    b1y_ref[j, 0] - a1y
+                ) * ex                                   # qp x r
+                ad = jnp.abs(d)
+                crossed = (
+                    (ad >= 1e-9)
+                    & (a_num * d >= 0.0) & (jnp.abs(a_num) <= ad)
+                    & (b_num * d >= 0.0) & (jnp.abs(b_num) <= ad)
+                )
+                hit = jnp.any(crossed, axis=0, keepdims=True)  # [1, T]
+                out_ref[...] = out_ref[...] | hit.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
+                      interpret: bool = False) -> jax.Array:
+    """Boundary-crossing mask for kernel-native candidates.
+
+    cx/cy: [VA, C] candidate vertex coords; pre: segment bundle from
+    `precompute_segments` (unbatched — vmap for batching). Returns [C] bool.
+    """
+    c = cx.shape[1]
+    cx, cy, n_tiles = _pad_candidates(cx, cy)
+    va_pad, c_pad = cx.shape
+    s_pad = pre.sx.shape[0]
+    n_groups = s_pad // SEG_GROUP
+
+    tiles = _tile_bboxes(cx, cy, n_tiles)
+    fine = (_bbox_overlap(tiles, pre.bbox) & (pre.mask > 0)[None, :]).astype(
+        jnp.int32
+    )
+    gskip = (
+        ~jnp.any(fine.reshape(n_tiles, n_groups, SEG_GROUP) > 0, axis=-1)
+    ).astype(jnp.int32)
+
+    seg_spec = pl.BlockSpec((SEG_GROUP, 1), lambda i, o: (o, 0),
+                            memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((va_pad, TILE), lambda i, o: (0, i),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _sat_hits_kernel,
-        grid=(n_tiles, n_obs),
-        in_specs=[
-            pl.BlockSpec((va, TILE), lambda i, o: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((va, TILE), lambda i, o: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs_pad, vo), lambda i, o: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs_pad, vo), lambda i, o: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs_pad, 1), lambda i, o: (0, 0),
-                         memory_space=pltpu.VMEM),
+        _boundary_kernel,
+        grid=(n_tiles, n_groups),
+        in_specs=[seg_spec] * 5 + [
+            cand_spec, cand_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i, o: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ex
+            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ey
+        ],
         interpret=interpret,
-    )(cx, cy, ox, oy, mask_i32)
+    )(pre.sx, pre.sy, pre.b1x, pre.b1y, pre.cb, cx, cy, fine, gskip)
     return out[0, :c].astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def candidate_boundary_crossings_pallas(
+    man_polys: jax.Array,           # [C, VA, 2]
+    segments: jax.Array,            # [S, 2, 2]
+    seg_mask: jax.Array,            # [S]
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas drop-in for ops.search.candidate_boundary_violations.
+
+    (Compatibility wrapper — the planner uses `boundary_hits_pre`.)
+    """
+    cand = jnp.moveaxis(man_polys, 0, -1)                # [VA, 2, C]
+    pre = precompute_segments(segments, seg_mask)
+    return boundary_hits_pre(cand[:, 0, :], cand[:, 1, :], pre,
+                             interpret=interpret)

@@ -213,6 +213,7 @@ def plan_trajectory(
     boundary_segments: jax.Array | None = None,   # [S, 2, 2]
     boundary_mask: jax.Array | None = None,       # [S]
     use_pallas: bool = False,
+    segments_pre=None,        # precomputed SegmentsPre (pallas path only)
 ) -> PlanResult:
     """Plan one vehicle's Hp-step trajectory through the trim lattice.
 
@@ -237,9 +238,45 @@ def plan_trajectory(
     obs_polys_by_step = jnp.moveaxis(obstacles.polys, 1, 0)   # [Hp, n_obs, VO, 2]
     obs_mask_by_step = jnp.moveaxis(obstacles.mask, 1, 0)     # [Hp, n_obs]
 
+    if use_pallas:
+        from pdmpc_tpu.ops import pallas_collision as pk
+
+        # candidate-independent obstacle geometry, once per planning pass
+        # for all Hp layers (was: recomputed inside every layer)
+        obs_pre = pk.precompute_obstacles(obs_polys_by_step,
+                                          obs_mask_by_step)
+        if check_boundary and segments_pre is None:
+            segments_pre = pk.precompute_segments(boundary_segments,
+                                                  boundary_mask)
+        # Packed maneuver-area tables [VA*n*2, n_parent]: the per-layer
+        # candidate polygons are produced by a ONE-HOT MATMUL on the MXU
+        # (table @ one_hot(parent_trim)) with the beam on the lane
+        # dimension — a gather `mpa.area[trim]` emits a [B, VA, n, 2]
+        # layout whose 24-element minor dims waste 97% of every (8, 128)
+        # tile and was measured at 12 ms/step on v5e.
+        def _pack(table):                # [n, n, VA, 2] -> [VA*n*2, n]
+            return jnp.transpose(table, (2, 1, 3, 0)).reshape(
+                va * n * 2, n
+            )
+
+        sat_pack = _pack(mpa.area)
+        if check_boundary:
+            # offset select hoisted to the (tiny) table: without-offset
+            # areas except the large-offset area at the final layer
+            no_pack = _pack(mpa.area_no_offset)
+            lg_pack = _pack(mpa.area_large_offset)
+            bnd_pack = jnp.where(
+                (jnp.arange(hp) == hp - 1)[:, None, None], lg_pack, no_pack
+            )                                            # [Hp, VA*n*2, n]
+        else:
+            bnd_pack = jnp.zeros((hp, 1, 1))
+    else:
+        obs_pre = None
+        bnd_pack = None
+
     def layer(carry, xs):
         pose, trim, g, valid, n_expanded = carry
-        k, trans_k, obs_polys, obs_mask = xs
+        k, trans_k, obs_polys, obs_mask, obs_pre_k, bnd_pack_k = xs
 
         # --- expansion: every (beam node, successor trim) pair -----------
         allowed = trans_k[trim]                               # [B, n]
@@ -259,49 +296,78 @@ def plan_trajectory(
         h_child = _cost_to_go(child_pos, ref_points, v_ref, k, dt)
 
         # --- collision mask (eval_edge_exact capability) ------------------
-        areas = mpa.area[trim]                                # [B, n, VA, 2]
-        ax = (
-            c[:, :, None] * areas[..., 0]
-            - s[:, :, None] * areas[..., 1] + pose[:, 0:1, None]
-        )
-        ay = (
-            s[:, :, None] * areas[..., 0]
-            + c[:, :, None] * areas[..., 1] + pose[:, 1:2, None]
-        )
-        man_world = jnp.stack([ax, ay], axis=-1)              # [B, n, VA, 2]
-        man_padded = pad_polys_to_vo(man_world.reshape(b * n, va, 2))
+        # natural vertex count (VA=4-6): SAT handles VA != VO; padding the
+        # candidates to VO=16 would triple the axis/vertex work
         if use_pallas:
-            from pdmpc_tpu.ops.pallas_collision import (
-                candidate_collisions_pallas,
-            )
-
-            collide = candidate_collisions_pallas(
-                man_padded, obs_polys, obs_mask
-            ).reshape(b, n)
+            # one-hot matmul expansion: exact copy of table rows (single
+            # nonzero per column), output [VA, n, 2, B] with the beam on
+            # lanes — directly kernel-consumable, no gather, no transpose
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (n, b), 0) == trim[None]
+            ).astype(jnp.float32)                             # [n, B]
+            satg = jax.lax.dot_general(
+                sat_pack, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(va, n, 2, b)
+            ct = c.reshape(1, 1, b)                           # cos(parent yaw)
+            st = s.reshape(1, 1, b)
+            pxb = pose[:, 0].reshape(1, 1, b)
+            pyb = pose[:, 1].reshape(1, 1, b)
+            cxk = (ct * satg[:, :, 0] - st * satg[:, :, 1]
+                   + pxb).reshape(va, n * b)
+            cyk = (st * satg[:, :, 0] + ct * satg[:, :, 1]
+                   + pyb).reshape(va, n * b)
+            collide = pk.sat_hits_pre(cxk, cyk, obs_pre_k).reshape(n, b).T
         else:
+            areas = mpa.area[trim]                            # [B, n, VA, 2]
+            ax = (
+                c[:, :, None] * areas[..., 0]
+                - s[:, :, None] * areas[..., 1] + pose[:, 0:1, None]
+            )
+            ay = (
+                s[:, :, None] * areas[..., 0]
+                + c[:, :, None] * areas[..., 1] + pose[:, 1:2, None]
+            )
+            man_world = jnp.stack([ax, ay], axis=-1)          # [B, n, VA, 2]
+            man_flat = man_world.reshape(b * n, va, 2)
             collide = candidate_collisions(
-                man_padded, obs_polys, obs_mask
+                man_flat, obs_polys, obs_mask
             ).reshape(b, n)
 
         if check_boundary:
             # boundary areas: without offset; larger offset at final step
-            bnd_areas = jnp.where(
-                (k == hp - 1),
-                mpa.area_large_offset[trim],
-                mpa.area_no_offset[trim],
-            )                                                 # [B, n, VA, 2]
-            bx = (
-                c[:, :, None] * bnd_areas[..., 0]
-                - s[:, :, None] * bnd_areas[..., 1] + pose[:, 0:1, None]
-            )
-            by = (
-                s[:, :, None] * bnd_areas[..., 0]
-                + c[:, :, None] * bnd_areas[..., 1] + pose[:, 1:2, None]
-            )
-            bnd_world = jnp.stack([bx, by], axis=-1).reshape(b * n, va, 2)
-            crosses = candidate_boundary_violations(
-                bnd_world, boundary_segments, boundary_mask
-            ).reshape(b, n)
+            if use_pallas:
+                bndg = jax.lax.dot_general(
+                    bnd_pack_k, onehot, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(va, n, 2, b)
+                bxk = (ct * bndg[:, :, 0] - st * bndg[:, :, 1]
+                       + pxb).reshape(va, n * b)
+                byk = (st * bndg[:, :, 0] + ct * bndg[:, :, 1]
+                       + pyb).reshape(va, n * b)
+                crosses = pk.boundary_hits_pre(
+                    bxk, byk, segments_pre
+                ).reshape(n, b).T
+            else:
+                bnd_areas = jnp.where(
+                    (k == hp - 1),
+                    mpa.area_large_offset[trim],
+                    mpa.area_no_offset[trim],
+                )                                             # [B, n, VA, 2]
+                bx = (
+                    c[:, :, None] * bnd_areas[..., 0]
+                    - s[:, :, None] * bnd_areas[..., 1] + pose[:, 0:1, None]
+                )
+                by = (
+                    s[:, :, None] * bnd_areas[..., 0]
+                    + c[:, :, None] * bnd_areas[..., 1] + pose[:, 1:2, None]
+                )
+                bnd_world = jnp.stack([bx, by], axis=-1).reshape(
+                    b * n, va, 2
+                )
+                crosses = candidate_boundary_violations(
+                    bnd_world, boundary_segments, boundary_mask
+                ).reshape(b, n)
             collide = collide | crosses
 
         feasible = valid[:, None] & allowed & ~collide        # [B, n]
@@ -315,15 +381,14 @@ def plan_trajectory(
         child_trim = (flat_idx % n).astype(jnp.int32)
         new_valid = neg_top > -jnp.inf
 
-        new_pose = jnp.stack(
-            [
-                child_x.reshape(-1)[flat_idx],
-                child_y.reshape(-1)[flat_idx],
-                child_yaw.reshape(-1)[flat_idx],
-            ],
-            axis=-1,
-        )
-        new_g = g_child.reshape(-1)[flat_idx]
+        # single packed payload gather (x, y, yaw, g): four separate 1-D
+        # gathers are scalar-core bound and cost 4x (measured 5 ms/step)
+        payload = jnp.stack(
+            [child_x, child_y, child_yaw, g_child], axis=-1
+        ).reshape(b * n, 4)
+        sel = payload[flat_idx]                               # [B, 4]
+        new_pose = sel[:, :3]
+        new_g = sel[:, 3]
 
         out = (new_pose, child_trim, parent, new_valid)
         return (new_pose, child_trim, new_g, new_valid, n_expanded), out
@@ -332,7 +397,8 @@ def plan_trajectory(
     (pose_f, trim_f, g_f, valid_f, n_expanded), layers = jax.lax.scan(
         layer,
         (pose0, trim_b, g0, valid0, jnp.array(0, dtype=jnp.int32)),
-        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step),
+        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step, obs_pre,
+         bnd_pack),
     )
     del pose_f, trim_f
     poses_l, trims_l, parents_l, valid_l = layers             # [Hp, B, ...]
