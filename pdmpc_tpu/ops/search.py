@@ -229,12 +229,6 @@ def plan_trajectory(
     va = mpa.area.shape[-2]
     check_boundary = boundary_segments is not None
 
-    # Beam state; slot 0 starts as the root, everything else invalid.
-    pose0 = jnp.tile(x0[None, :], (b, 1))
-    trim_b = jnp.full((b,), trim0, dtype=jnp.int32)
-    g0 = jnp.zeros((b,))
-    valid0 = jnp.zeros((b,), dtype=bool).at[0].set(True)
-
     obs_polys_by_step = jnp.moveaxis(obstacles.polys, 1, 0)   # [Hp, n_obs, VO, 2]
     obs_mask_by_step = jnp.moveaxis(obstacles.mask, 1, 0)     # [Hp, n_obs]
 
@@ -274,9 +268,24 @@ def plan_trajectory(
         obs_pre = None
         bnd_pack = None
 
-    def layer(carry, xs):
+    def layer(carry, k, b_in, b_out):
+        """One search layer with static depth k and beam widths.
+
+        The horizon loop is UNROLLED with a growing beam: layer k can hold
+        at most n^k reachable nodes, so early layers evaluate 12/144/...
+        candidates instead of beam_width*n (a lax.scan would force every
+        layer to the maximum width — ~40% wasted work at Hp=6, b=256).
+        When the full candidate set fits in b_out no pruning happens and
+        the top_k is skipped entirely.
+        """
         pose, trim, g, valid, n_expanded = carry
-        k, trans_k, obs_polys, obs_mask, obs_pre_k, bnd_pack_k = xs
+        trans_k = mpa.transition[k]
+        obs_polys = obs_polys_by_step[k]
+        obs_mask = obs_mask_by_step[k]
+        if use_pallas:
+            obs_pre_k = jax.tree.map(lambda x: x[k], obs_pre)
+            bnd_pack_k = bnd_pack[k]
+        b = b_in
 
         # --- expansion: every (beam node, successor trim) pair -----------
         allowed = trans_k[trim]                               # [B, n]
@@ -349,11 +358,11 @@ def plan_trajectory(
                     bxk, byk, segments_pre
                 ).reshape(n, b).T
             else:
-                bnd_areas = jnp.where(
-                    (k == hp - 1),
-                    mpa.area_large_offset[trim],
-                    mpa.area_no_offset[trim],
-                )                                             # [B, n, VA, 2]
+                bnd_table = (
+                    mpa.area_large_offset if k == hp - 1
+                    else mpa.area_no_offset
+                )
+                bnd_areas = bnd_table[trim]                   # [B, n, VA, 2]
                 bx = (
                     c[:, :, None] * bnd_areas[..., 0]
                     - s[:, :, None] * bnd_areas[..., 1] + pose[:, 0:1, None]
@@ -372,37 +381,63 @@ def plan_trajectory(
 
         feasible = valid[:, None] & allowed & ~collide        # [B, n]
         n_expanded = n_expanded + jnp.sum(feasible)
-
-        # --- top-k pruning (replaces the MEX priority queue) -------------
         score = jnp.where(feasible, g_child + h_child, jnp.inf)
-        flat_score = score.reshape(b * n)
-        neg_top, flat_idx = jax.lax.top_k(-flat_score, b)
-        parent = flat_idx // n                                # [B]
-        child_trim = (flat_idx % n).astype(jnp.int32)
-        new_valid = neg_top > -jnp.inf
 
-        # single packed payload gather (x, y, yaw, g): four separate 1-D
-        # gathers are scalar-core bound and cost 4x (measured 5 ms/step)
-        payload = jnp.stack(
-            [child_x, child_y, child_yaw, g_child], axis=-1
-        ).reshape(b * n, 4)
-        sel = payload[flat_idx]                               # [B, 4]
-        new_pose = sel[:, :3]
-        new_g = sel[:, 3]
+        if b_out >= b * n:
+            # exhaustive layer: every candidate survives, no pruning
+            child_trim = jnp.tile(jnp.arange(n, dtype=jnp.int32), b)
+            parent = jnp.repeat(
+                jnp.arange(b, dtype=jnp.int32), n, total_repeat_length=b * n
+            )
+            new_valid = feasible.reshape(-1)
+            new_pose = jnp.stack(
+                [child_x.reshape(-1), child_y.reshape(-1),
+                 child_yaw.reshape(-1)],
+                axis=-1,
+            )
+            new_g = g_child.reshape(-1)
+        else:
+            # --- top-k pruning (replaces the MEX priority queue) ---------
+            flat_score = score.reshape(b * n)
+            neg_top, flat_idx = jax.lax.top_k(-flat_score, b_out)
+            parent = flat_idx // n                            # [B_out]
+            child_trim = (flat_idx % n).astype(jnp.int32)
+            new_valid = neg_top > -jnp.inf
+            # single packed payload gather (x, y, yaw, g): four separate
+            # 1-D gathers are scalar-core bound and cost 4x
+            payload = jnp.stack(
+                [child_x, child_y, child_yaw, g_child], axis=-1
+            ).reshape(b * n, 4)
+            sel = payload[flat_idx]                           # [B_out, 4]
+            new_pose = sel[:, :3]
+            new_g = sel[:, 3]
 
         out = (new_pose, child_trim, parent, new_valid)
         return (new_pose, child_trim, new_g, new_valid, n_expanded), out
 
-    ks = jnp.arange(hp)
-    (pose_f, trim_f, g_f, valid_f, n_expanded), layers = jax.lax.scan(
-        layer,
-        (pose0, trim_b, g0, valid0, jnp.array(0, dtype=jnp.int32)),
-        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step, obs_pre,
-         bnd_pack),
+    # beam widths per layer: layer k holds at most (prev width) * n nodes
+    widths = []
+    w = 1
+    for _ in range(hp):
+        w = min(b, w * n)
+        widths.append(w)
+
+    carry = (
+        x0[None, :],                                  # [1, 3] root pose
+        trim0[None].astype(jnp.int32),                # [1]
+        jnp.zeros((1,)),                              # g
+        jnp.ones((1,), dtype=bool),                   # valid
+        jnp.array(0, dtype=jnp.int32),
     )
-    del pose_f, trim_f
-    poses_l, trims_l, parents_l, valid_l = layers             # [Hp, B, ...]
-    del valid_l
+    poses_l, trims_l, parents_l = [], [], []
+    b_in = 1
+    for k in range(hp):
+        carry, (p_k, t_k, par_k, v_k) = layer(carry, k, b_in, widths[k])
+        poses_l.append(p_k)
+        trims_l.append(t_k)
+        parents_l.append(par_k)
+        b_in = widths[k]
+    _, _, g_f, valid_f, n_expanded = carry
 
     # --- leaf selection: min g among valid leaves (h = 0 at depth Hp) ----
     leaf_score = jnp.where(valid_f, g_f, jnp.inf)
@@ -410,22 +445,15 @@ def plan_trajectory(
     is_exhausted = ~jnp.any(valid_f)
     cost = leaf_score[best_leaf]
 
-    # --- backtracking over stored parent pointers ------------------------
-    def back(i, carry):
-        idx, trims, poses, parents_out = carry
-        layer_i = hp - 1 - i
-        trims = trims.at[layer_i].set(trims_l[layer_i, idx])
-        poses = poses.at[layer_i].set(poses_l[layer_i, idx])
-        parents_out = parents_out.at[layer_i].set(idx)
-        return (parents_l[layer_i, idx], trims, poses, parents_out)
-
-    init = (
-        best_leaf,
-        jnp.zeros((hp,), dtype=jnp.int32),
-        jnp.zeros((hp, 3)),
-        jnp.zeros((hp,), dtype=jnp.int32),
-    )
-    _, trims_path, poses_path, _ = jax.lax.fori_loop(0, hp, back, init)
+    # --- backtracking over per-layer parent pointers (static unroll) -----
+    idx = best_leaf
+    trims_rev, poses_rev = [], []
+    for k in range(hp - 1, -1, -1):
+        trims_rev.append(trims_l[k][idx])
+        poses_rev.append(poses_l[k][idx])
+        idx = parents_l[k][idx]
+    trims_path = jnp.stack(trims_rev[::-1])
+    poses_path = jnp.stack(poses_rev[::-1])
 
     # --- occupied swept areas along the chosen path ----------------------
     parent_poses = jnp.concatenate([x0[None, :], poses_path[:-1]], axis=0)
