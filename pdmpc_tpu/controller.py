@@ -612,27 +612,29 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             par_pred = (directed_p.T & ~sequential.T) & not_self
             if not use_reachability:
                 par_pred = par_pred & prev_valid_g[None, :]
+            # obstacle families are assembled statically: families whose
+            # mask is identically False for this config (the unused
+            # successor-constraint variant, HDV when no HDVs exist) are
+            # dropped from the tensors entirely instead of carried as
+            # always-masked slots
+            hdv_family = is_hdv_g[None, :] & ~is_hdv_g[:, None] & not_self
+            family_masks = [seq_pred, par_pred]
             if successor_mode == ConstraintFromSuccessor.area_of_standstill:
-                successor_standstill = (
+                family_masks.append(
                     directed_p
                     & (mpa.trim_speed[trim_g] < STANDSTILL_SPEED)[None, :]
                     & not_self
                 )
-            else:
-                successor_standstill = jnp.zeros((n, n), dtype=bool)
             if (successor_mode
                     == ConstraintFromSuccessor.area_of_previous_trajectory):
-                succ_prev = directed_p & prev_valid_g[None, :] & not_self
-            else:
-                succ_prev = jnp.zeros((n, n), dtype=bool)
-
-            hdv_family = is_hdv_g[None, :] & ~is_hdv_g[:, None] & not_self
-            obs_mask_all = jnp.concatenate(
-                [seq_pred, par_pred, successor_standstill, succ_prev,
-                 hdv_family],
-                axis=1,
-            )                                            # [N, 5N]
-            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, 5N]
+                family_masks.append(
+                    directed_p & prev_valid_g[None, :] & not_self
+                )
+            if cfg.manual_control_config.is_active:
+                family_masks.append(hdv_family)
+            n_families = len(family_masks)
+            obs_mask_all = jnp.concatenate(family_masks, axis=1)
+            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, F*N]
 
             planned0 = search.PlanResult(
                 trims=jnp.zeros((nl, hp), dtype=jnp.int32),
@@ -647,16 +649,24 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
 
             def level_body(carry):
                 level, planned, planned_shapes = carry
+                family_polys = [planned_shapes, parallel_polys]
+                if successor_mode == ConstraintFromSuccessor.area_of_standstill:
+                    family_polys.append(standstill)
+                if (successor_mode
+                        == ConstraintFromSuccessor.area_of_previous_trajectory):
+                    family_polys.append(prev_shifted)
+                if cfg.manual_control_config.is_active:
+                    family_polys.append(hdv_rs_g)
                 obs_polys = jnp.concatenate(
-                    [planned_shapes, parallel_polys, standstill,
-                     prev_shifted, hdv_rs_g],
-                    axis=0,
-                )                                        # [5N, Hp, VO, 2]
+                    family_polys, axis=0
+                )                                        # [F*N, Hp, VO, 2]
 
                 def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp):
                     obstacles = Obstacles(
                         polys=obs_polys,
-                        mask=jnp.broadcast_to(mask[:, None], (5 * n, hp)),
+                        mask=jnp.broadcast_to(
+                            mask[:, None], (n_families * n, hp)
+                        ),
                     )
                     if cfg.optimizer_type.is_optimal:
                         return search.plan_trajectory(

@@ -49,10 +49,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Candidates per kernel instance (lane dimension). Fat tiles: the per-call
-# fixed costs dominate when most (tile, group) pairs are skipped, so fewer,
-# larger steps win; VMEM stays < 1 MB per instance.
-TILE = 1536
+# Candidates per kernel instance (lane dimension). Smaller tiles give
+# tighter bounding boxes (better work-skipping) at more grid steps; the
+# SAT kernel's active set is sparse (coupled neighbors only) while the
+# boundary kernel's segments are dense near the vehicle, so they tune
+# separately. VMEM stays < 1 MB per instance either way.
+SAT_TILE = 1536
+SEG_TILE = 1536
 # Candidate polygon vertices are padded to this sublane count (the swept
 # maneuver areas have 4-6 vertices; 8 = one VPU register row).
 VA_PAD = 8
@@ -82,10 +85,10 @@ def _pad_axis(arr, n, axis, mode="zero"):
     return jnp.concatenate([arr, tail], axis=axis)
 
 
-def _tile_bboxes(cx, cy, n_tiles):
+def _tile_bboxes(cx, cy, n_tiles, tile):
     """[n_tiles, 4] (minx, maxx, miny, maxy) over each candidate tile."""
-    cxt = cx.reshape(cx.shape[0], n_tiles, TILE)
-    cyt = cy.reshape(cy.shape[0], n_tiles, TILE)
+    cxt = cx.reshape(cx.shape[0], n_tiles, tile)
+    cyt = cy.reshape(cy.shape[0], n_tiles, tile)
     return jnp.stack(
         [
             jnp.min(cxt, axis=(0, 2)),
@@ -107,8 +110,8 @@ def _bbox_overlap(tiles, boxes):
     )
 
 
-def _pad_candidates(cx, cy):
-    """Pad [VA, C] candidate coords to ([VA_PAD*], [TILE*]) multiples.
+def _pad_candidates(cx, cy, tile):
+    """Pad [VA, C] candidate coords to ([VA_PAD*], [tile*]) multiples.
 
     The vertex rows pad by repeating the last row (degenerate zero axes
     never separate); the candidate columns pad by repeating the last
@@ -116,8 +119,8 @@ def _pad_candidates(cx, cy):
     """
     va = cx.shape[0]
     va_pad = max(VA_PAD, -(-va // VA_PAD) * VA_PAD)
-    n_tiles = -(-cx.shape[1] // TILE)
-    c_pad = n_tiles * TILE
+    n_tiles = -(-cx.shape[1] // tile)
+    c_pad = n_tiles * tile
     cx = _pad_axis(_pad_axis(cx, va_pad, 0, "edge"), c_pad, 1, "edge")
     cy = _pad_axis(_pad_axis(cy, va_pad, 0, "edge"), c_pad, 1, "edge")
     return cx, cy, n_tiles
@@ -295,13 +298,13 @@ def sat_hits_pre(cx: jax.Array, cy: jax.Array, pre: ObstaclesPre,
     for batching). Returns [C] bool.
     """
     c = cx.shape[1]
-    cx, cy, n_tiles = _pad_candidates(cx, cy)
+    cx, cy, n_tiles = _pad_candidates(cx, cy, SAT_TILE)
     va_pad, c_pad = cx.shape
     no_pad = pre.ox.shape[0]
     vo = pre.ox.shape[1]
     n_groups = no_pad // OBS_GROUP
 
-    tiles = _tile_bboxes(cx, cy, n_tiles)
+    tiles = _tile_bboxes(cx, cy, n_tiles, SAT_TILE)
     fine = (_bbox_overlap(tiles, pre.bbox) & (pre.mask > 0)[None, :]).astype(
         jnp.int32
     )                                                    # [n_tiles, NO_pad]
@@ -311,7 +314,7 @@ def sat_hits_pre(cx: jax.Array, cy: jax.Array, pre: ObstaclesPre,
 
     obs_spec = pl.BlockSpec((OBS_GROUP, vo), lambda i, o: (o, 0),
                             memory_space=pltpu.VMEM)
-    cand_spec = pl.BlockSpec((va_pad, TILE), lambda i, o: (0, i),
+    cand_spec = pl.BlockSpec((va_pad, SAT_TILE), lambda i, o: (0, i),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _sat_kernel,
@@ -321,14 +324,14 @@ def sat_hits_pre(cx: jax.Array, cy: jax.Array, pre: ObstaclesPre,
             pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda i, o: (0, i),
+        out_specs=pl.BlockSpec((1, SAT_TILE), lambda i, o: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ax
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ay
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # mn_cc
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # mx_cc
+            pltpu.VMEM((va_pad, SAT_TILE), jnp.float32),  # ax
+            pltpu.VMEM((va_pad, SAT_TILE), jnp.float32),  # ay
+            pltpu.VMEM((va_pad, SAT_TILE), jnp.float32),  # mn_cc
+            pltpu.VMEM((va_pad, SAT_TILE), jnp.float32),  # mx_cc
         ],
         interpret=interpret,
     )(pre.ox, pre.oy, pre.oax, pre.oay, pre.omn, pre.omx,
@@ -418,12 +421,12 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
     `precompute_segments` (unbatched — vmap for batching). Returns [C] bool.
     """
     c = cx.shape[1]
-    cx, cy, n_tiles = _pad_candidates(cx, cy)
+    cx, cy, n_tiles = _pad_candidates(cx, cy, SEG_TILE)
     va_pad, c_pad = cx.shape
     s_pad = pre.sx.shape[0]
     n_groups = s_pad // SEG_GROUP
 
-    tiles = _tile_bboxes(cx, cy, n_tiles)
+    tiles = _tile_bboxes(cx, cy, n_tiles, SEG_TILE)
     fine = (_bbox_overlap(tiles, pre.bbox) & (pre.mask > 0)[None, :]).astype(
         jnp.int32
     )
@@ -433,7 +436,7 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
 
     seg_spec = pl.BlockSpec((SEG_GROUP, 1), lambda i, o: (o, 0),
                             memory_space=pltpu.VMEM)
-    cand_spec = pl.BlockSpec((va_pad, TILE), lambda i, o: (0, i),
+    cand_spec = pl.BlockSpec((va_pad, SEG_TILE), lambda i, o: (0, i),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _boundary_kernel,
@@ -443,12 +446,12 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
             pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda i, o: (0, i),
+        out_specs=pl.BlockSpec((1, SEG_TILE), lambda i, o: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ex
-            pltpu.VMEM((va_pad, TILE), jnp.float32),     # ey
+            pltpu.VMEM((va_pad, SEG_TILE), jnp.float32),  # ex
+            pltpu.VMEM((va_pad, SEG_TILE), jnp.float32),  # ey
         ],
         interpret=interpret,
     )(pre.sx, pre.sy, pre.b1x, pre.b1y, pre.cb, cx, cy, fine, gskip)

@@ -268,23 +268,19 @@ def plan_trajectory(
         obs_pre = None
         bnd_pack = None
 
-    def layer(carry, k, b_in, b_out):
-        """One search layer with static depth k and beam widths.
+    def layer(carry, xs, b_in, b_out):
+        """One search layer; ``k`` may be static (unrolled prefix) or
+        traced (scanned uniform tail).
 
-        The horizon loop is UNROLLED with a growing beam: layer k can hold
-        at most n^k reachable nodes, so early layers evaluate 12/144/...
-        candidates instead of beam_width*n (a lax.scan would force every
-        layer to the maximum width — ~40% wasted work at Hp=6, b=256).
-        When the full candidate set fits in b_out no pruning happens and
-        the top_k is skipped entirely.
+        The horizon loop runs a GROWING-BEAM prefix: layer k can hold at
+        most n^k reachable nodes, so early layers evaluate 12/144/...
+        candidates instead of beam_width*n, and when the full candidate
+        set fits in b_out no pruning happens and the top_k is skipped.
+        Once the width saturates at beam_width the remaining layers share
+        one lax.scan body (keeps compile time flat in Hp).
         """
         pose, trim, g, valid, n_expanded = carry
-        trans_k = mpa.transition[k]
-        obs_polys = obs_polys_by_step[k]
-        obs_mask = obs_mask_by_step[k]
-        if use_pallas:
-            obs_pre_k = jax.tree.map(lambda x: x[k], obs_pre)
-            bnd_pack_k = bnd_pack[k]
+        k, trans_k, obs_polys, obs_mask, obs_pre_k, bnd_pack_k = xs
         b = b_in
 
         # --- expansion: every (beam node, successor trim) pair -----------
@@ -358,9 +354,11 @@ def plan_trajectory(
                     bxk, byk, segments_pre
                 ).reshape(n, b).T
             else:
-                bnd_table = (
-                    mpa.area_large_offset if k == hp - 1
-                    else mpa.area_no_offset
+                # offset select on the (tiny) table, then gather
+                bnd_table = jnp.where(
+                    jnp.equal(k, hp - 1)[..., None, None, None, None],
+                    mpa.area_large_offset,
+                    mpa.area_no_offset,
                 )
                 bnd_areas = bnd_table[trim]                   # [B, n, VA, 2]
                 bx = (
@@ -429,14 +427,51 @@ def plan_trajectory(
         jnp.ones((1,), dtype=bool),                   # valid
         jnp.array(0, dtype=jnp.int32),
     )
+
+    def xs_at(k):
+        return (
+            jnp.asarray(k, dtype=jnp.int32),
+            mpa.transition[k],
+            obs_polys_by_step[k],
+            obs_mask_by_step[k],
+            jax.tree.map(lambda x: x[k], obs_pre) if use_pallas else None,
+            bnd_pack[k] if use_pallas else None,
+        )
+
+    # growing-beam prefix (shapes differ per layer), unrolled
+    k0 = 0
+    while k0 < hp and (k0 == 0 or widths[k0 - 1] < b):
+        k0 += 1
     poses_l, trims_l, parents_l = [], [], []
     b_in = 1
-    for k in range(hp):
-        carry, (p_k, t_k, par_k, v_k) = layer(carry, k, b_in, widths[k])
+    for k in range(k0):
+        carry, (p_k, t_k, par_k, v_k) = layer(
+            carry, xs_at(k), b_in, widths[k]
+        )
         poses_l.append(p_k)
         trims_l.append(t_k)
         parents_l.append(par_k)
         b_in = widths[k]
+
+    # uniform tail (width saturated at b): single scan body
+    if k0 < hp:
+        ks_tail = jnp.arange(k0, hp)
+        tail_xs = (
+            ks_tail,
+            mpa.transition[k0:],
+            obs_polys_by_step[k0:],
+            obs_mask_by_step[k0:],
+            (jax.tree.map(lambda x: x[k0:], obs_pre)
+             if use_pallas else None),
+            bnd_pack[k0:] if use_pallas else None,
+        )
+        carry, (p_t, t_t, par_t, v_t) = jax.lax.scan(
+            lambda cc, xx: layer(cc, xx, b, b), carry, tail_xs
+        )
+        for j in range(hp - k0):
+            poses_l.append(p_t[j])
+            trims_l.append(t_t[j])
+            parents_l.append(par_t[j])
     _, _, g_f, valid_f, n_expanded = carry
 
     # --- leaf selection: min g among valid leaves (h = 0 at depth Hp) ----
