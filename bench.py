@@ -112,6 +112,11 @@ def main():
     cfg, mpa_t, sc_t = _build("commonroad", 20, 4.0, 256)
     solves_per_s, elapsed = _throughput(cfg, mpa_t, sc_t, batch)
     p95_ms, med_ms = _latency(cfg, mpa_t, sc_t)
+    # deployment latency: the control loop runs on-device (lax.scan); the
+    # per-step host fetch in _latency adds a ~27 ms tunnel round trip that
+    # a real deployment never pays
+    _, dev_elapsed = _throughput(cfg, mpa_t, sc_t, batch=1, reps=3)
+    device_step_ms = dev_elapsed / cfg.k_end * 1e3
 
     result = {
         "metric": "vehicle_mpc_solves_per_s_per_chip",
@@ -125,6 +130,7 @@ def main():
             "rollout_batch_seconds": round(elapsed, 4),
             "p95_step_latency_ms": round(p95_ms, 2),
             "median_step_latency_ms": round(med_ms, 2),
+            "device_step_latency_ms": round(device_step_ms, 2),
             "realtime_budget_ms": 200.0,
             "device": str(jax.devices()[0]),
         },

@@ -661,7 +661,8 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                     family_polys, axis=0
                 )                                        # [F*N, Hp, VO, 2]
 
-                def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp):
+                def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp,
+                           al):
                     obstacles = Obstacles(
                         polys=obs_polys,
                         mask=jnp.broadcast_to(
@@ -674,6 +675,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                             cfg.beam_width,
                             boundary_segments=bs, boundary_mask=bm,
                             use_pallas=use_pallas, segments_pre=sp,
+                            active=al,
                         )
                     # sampled search, seeded per (seed, step, vehicle) like
                     # MonteCarloTreeSearch.m:31
@@ -687,20 +689,20 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                         boundary_segments=bs, boundary_mask=bm,
                     )
 
+                at_level = levels_l == level
                 if bnd_segs is not None:
                     result = jax.vmap(plan_v)(
                         gidx, state.pose, state.trim, ref_points, v_ref,
-                        obs_mask_l, bnd_segs, bnd_mask, seg_pre,
+                        obs_mask_l, bnd_segs, bnd_mask, seg_pre, at_level,
                     )
                 else:
                     result = jax.vmap(
-                        lambda i, pose, trim, ref_p, vr, mask: plan_v(
-                            i, pose, trim, ref_p, vr, mask, None, None, None
+                        lambda i, pose, trim, ref_p, vr, mask, al: plan_v(
+                            i, pose, trim, ref_p, vr, mask, None, None,
+                            None, al
                         )
                     )(gidx, state.pose, state.trim, ref_points, v_ref,
-                      obs_mask_l)
-
-                at_level = levels_l == level
+                      obs_mask_l, at_level)
 
                 def sel(new, old):
                     m = at_level.reshape((nl,) + (1,) * (new.ndim - 1))

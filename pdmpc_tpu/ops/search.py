@@ -214,6 +214,7 @@ def plan_trajectory(
     boundary_mask: jax.Array | None = None,       # [S]
     use_pallas: bool = False,
     segments_pre=None,        # precomputed SegmentsPre (pallas path only)
+    active=None,              # scalar bool: False -> kernels skip all work
 ) -> PlanResult:
     """Plan one vehicle's Hp-step trajectory through the trim lattice.
 
@@ -242,6 +243,16 @@ def plan_trajectory(
         if check_boundary and segments_pre is None:
             segments_pre = pk.precompute_segments(boundary_segments,
                                                   boundary_mask)
+        if active is not None:
+            # level predication: a vehicle whose plan will be discarded
+            # this level (dense level loop) zeroes its skip masks, so its
+            # kernel grid steps do no work at all
+            act = active.astype(jnp.int32)
+            obs_pre = obs_pre._replace(mask=obs_pre.mask * act)
+            if check_boundary:
+                segments_pre = segments_pre._replace(
+                    mask=segments_pre.mask * act
+                )
         # Packed maneuver-area tables [VA*n*2, n_parent]: the per-layer
         # candidate polygons are produced by a ONE-HOT MATMUL on the MXU
         # (table @ one_hot(parent_trim)) with the beam on the lane
