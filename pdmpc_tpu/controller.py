@@ -513,9 +513,10 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                                   fill_value=0)
                 segs = scenario.road.boundary_segments[uids]
                 mask = scenario.road.boundary_seg_mask[uids]
-                return segs.reshape(-1, 2, 2), mask.reshape(-1)
+                rings = scenario.road.corridor_rings[uids]
+                return segs.reshape(-1, 2, 2), mask.reshape(-1), rings
 
-            bnd_segs, bnd_mask = jax.vmap(boundary_for)(
+            bnd_segs, bnd_mask, corridor_rings = jax.vmap(boundary_for)(
                 gidx, seg_idx, proj_seg
             )
             if use_pallas:
@@ -529,7 +530,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             else:
                 seg_pre = None
         else:
-            bnd_segs = bnd_mask = seg_pre = None
+            bnd_segs = bnd_mask = seg_pre = corridor_rings = None
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
@@ -541,6 +542,22 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         reachable_sets = jax.vmap(
             lambda p, t: _reachable_sets_at_pose(mpa, p, t)
         )(state.pose, state.trim)                        # [nl, Hp, K, 2]
+
+        # bound reachable sets by the drivable corridor of the predicted
+        # lanelets BEFORE they feed coupling and parallel avoidance
+        # (bound_reachable_sets.m:1-50, called from
+        # HighLevelController.m:241-257)
+        if corridor_rings is not None:
+            def bound_vehicle(rs_hp, rings, segs, mask):
+                return jax.vmap(
+                    lambda rs: geo.bound_convex_to_corridor(
+                        rs, rings, segs, mask
+                    )
+                )(rs_hp)
+
+            reachable_sets = jax.vmap(bound_vehicle)(
+                reachable_sets, corridor_rings, bnd_segs, bnd_mask
+            )
 
         # ---- traffic exchange (the Traffic-topic all_gather + barrier) ---
         pose_g = comm.gather_veh(state.pose)
@@ -561,6 +578,13 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 mpa.local_reachable_sets_hdv[t], p[0], p[1], p[2]
             )
         )(state.pose, state.trim)                        # [nl, Hp, K, 2]
+        if corridor_rings is not None:
+            # lane-bounded HDV reachability: the HDV's reachable sets are
+            # clipped to its predicted-lanelet corridor
+            # (ManualVehicle.compute_reachable_lane, ManualVehicle.m:30-49)
+            hdv_rs = jax.vmap(bound_vehicle)(
+                hdv_rs, corridor_rings, bnd_segs, bnd_mask
+            )
         hdv_rs_g = pad_polys_to_vo(comm.gather_veh(hdv_rs))
 
         # ---- coupling graph (replicated: same inputs on every shard) -----

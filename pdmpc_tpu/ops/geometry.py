@@ -215,6 +215,74 @@ def convex_intersection_area(a, b):
     return jnp.where(n_valid >= 3, area, 0.0)
 
 
+def point_in_ring(p, ring):
+    """Crossing-number point-in-polygon for a (possibly non-convex) ring.
+
+    ``ring`` [R, 2] is a closed polygon padded by repeating the last valid
+    vertex (zero-length edges never cross the ray, so padding is harmless;
+    an all-equal dummy ring tests False everywhere). Used for the drivable
+    corridor of lanelet boundary rings (the polyshape region test inside
+    bound_reachable_sets.m).
+    """
+    a = ring
+    b = jnp.roll(ring, -1, axis=0)
+    cond = (a[:, 1] > p[1]) != (b[:, 1] > p[1])
+    dy = b[:, 1] - a[:, 1]
+    t = (p[1] - a[:, 1]) / jnp.where(jnp.abs(dy) < _EPS, 1.0, dy)
+    x_cross = a[:, 0] + t * (b[:, 0] - a[:, 0])
+    crossings = jnp.sum(cond & (p[0] < x_cross))
+    return (crossings % 2) == 1
+
+
+def bound_convex_to_corridor(poly, rings, segs, seg_mask, k_dirs=None):
+    """Clip convex polygon ``poly`` to a corridor (union of boundary rings).
+
+    TPU-native equivalent of bound_reachable_sets.m (/root/reference/hlc/
+    controller/common/bound_reachable_sets.m:1-50) followed by the convhull
+    the reference applies for convex-only obstacle configs
+    (HighLevelController.m:252-257): the candidate vertices of
+    ``poly ∩ corridor`` — polygon vertices inside the corridor, corridor
+    ring vertices inside the polygon, and polygon-edge x boundary-segment
+    intersections — are support-fitted to a ``k_dirs``-vertex convex outer
+    approximation. An empty intersection restores the original polygon
+    (reference :41-46).
+
+    poly: [K, 2] convex; rings: [M, R, 2] corridor rings (pad-by-repeat);
+    segs: [S, 2, 2] boundary segments with validity mask ``seg_mask`` [S].
+    Returns [k_dirs or K, 2].
+    """
+    k = poly.shape[0] if k_dirs is None else k_dirs
+
+    in_corridor = jax.vmap(
+        lambda p: jnp.any(jax.vmap(lambda r: point_in_ring(p, r))(rings))
+    )(poly)                                                   # [K]
+
+    ring_pts = rings.reshape(-1, 2)                           # [M*R, 2]
+    ring_in = jax.vmap(lambda p: point_in_convex(p, poly))(ring_pts)
+
+    e1, e2 = poly, jnp.roll(poly, -1, axis=0)
+
+    def edge_hits(p1, p2):
+        valid, pts = jax.vmap(
+            lambda s: _segment_intersection(p1, p2, s[0], s[1])
+        )(segs)
+        return valid & seg_mask, pts
+
+    xvalid, xpts = jax.vmap(edge_hits)(e1, e2)                # [K, S]
+
+    pts = jnp.concatenate([poly, ring_pts, xpts.reshape(-1, 2)], axis=0)
+    valid = jnp.concatenate(
+        [in_corridor, ring_in, xvalid.reshape(-1)], axis=0
+    )
+    n_valid = jnp.sum(valid)
+    safe_valid = jnp.where(n_valid >= 3, valid, jnp.ones_like(valid))
+    bounded = outer_poly_approx(pts, safe_valid, k)
+    original = outer_poly_approx(
+        poly, jnp.ones(poly.shape[0], dtype=bool), k
+    ) if k != poly.shape[0] else poly
+    return jnp.where(n_valid >= 3, bounded, original)
+
+
 def outer_poly_approx(points, mask, k_dirs: int):
     """Conservative convex outer approximation with ``k_dirs`` vertices.
 

@@ -25,6 +25,10 @@ class RoadTensors(NamedTuple):
 
     boundary_segments: Any  # [L+1, S_max, 2, 2] f32
     boundary_seg_mask: Any  # [L+1, S_max] bool
+    # drivable-corridor ring per lanelet (left bound + reversed right bound,
+    # pad-by-repeat; row 0 = degenerate dummy). Used by the reachable-set
+    # bounding kernel (bound_reachable_sets.m capability).
+    corridor_rings: Any = None  # [L+1, R_max, 2] f32
 
 
 class ScenarioTensors(NamedTuple):
@@ -161,7 +165,23 @@ def road_to_tensors(road) -> RoadTensors:
         all_segs = np.concatenate(parts, axis=0)
         segs[i + 1, : all_segs.shape[0]] = all_segs
         mask[i + 1, : all_segs.shape[0]] = True
+
+    # corridor rings: left bound followed by reversed right bound closes the
+    # drivable band of each lanelet (get_lanelets_boundary.m's polyshape)
+    ring_counts = [
+        road.boundary_left[i].shape[0] + road.boundary_right[i].shape[0]
+        for i in range(n_lanelets)
+    ]
+    r_max = max(ring_counts)
+    rings = np.zeros((n_lanelets + 1, r_max, 2), dtype=np.float32)
+    for i in range(n_lanelets):
+        ring = np.concatenate(
+            [road.boundary_left[i], road.boundary_right[i][::-1]], axis=0
+        )
+        rings[i + 1, : ring.shape[0]] = ring
+        rings[i + 1, ring.shape[0]:] = ring[-1]
     return RoadTensors(
         boundary_segments=jnp.asarray(segs),
         boundary_seg_mask=jnp.asarray(mask),
+        corridor_rings=jnp.asarray(rings),
     )
