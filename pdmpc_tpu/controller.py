@@ -514,9 +514,11 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 segs = scenario.road.boundary_segments[uids]
                 mask = scenario.road.boundary_seg_mask[uids]
                 rings = scenario.road.corridor_rings[uids]
-                return segs.reshape(-1, 2, 2), mask.reshape(-1), rings
+                return (segs.reshape(-1, 2, 2), mask.reshape(-1), rings,
+                        lane_of[proj_i])
 
-            bnd_segs, bnd_mask, corridor_rings = jax.vmap(boundary_for)(
+            (bnd_segs, bnd_mask, corridor_rings,
+             current_lanelet) = jax.vmap(boundary_for)(
                 gidx, seg_idx, proj_seg
             )
             if use_pallas:
@@ -531,6 +533,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 seg_pre = None
         else:
             bnd_segs = bnd_mask = seg_pre = corridor_rings = None
+            current_lanelet = None
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
@@ -619,6 +622,29 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         )
         not_self = ~jnp.eye(n, dtype=bool)
 
+        # directional CAV-HDV coupling (update_hdv_traffic_info,
+        # HighLevelController.m:428-443): a CAV avoids an HDV only when the
+        # HDV is NOT behind it — an HDV behind would contain the CAV in its
+        # reachable set and make the search infeasible (is_hdv_behind.m).
+        # On road scenarios the current-lanelet relationship matrices
+        # decide; free-space scenarios keep all-pairs avoidance.
+        if (scenario.road is not None
+                and cfg.manual_control_config.is_active):
+            cl_g = comm.gather_veh(current_lanelet)      # [N]
+            pred_m = scenario.road.hdv_predecessor[
+                cl_g[:, None], cl_g[None, :]
+            ]
+            over_m = scenario.road.hdv_overlap[cl_g[:, None], cl_g[None, :]]
+            same = cl_g[:, None] == cl_g[None, :]
+            vec_cav_hdv = pose_g[None, :, :2] - pose_g[:, None, :2]
+            hdv_heading = jnp.stack(
+                [jnp.cos(pose_g[:, 2]), jnp.sin(pose_g[:, 2])], axis=-1
+            )
+            scal = jnp.sum(hdv_heading[None, :, :] * vec_cav_hdv, axis=-1)
+            hdv_behind = pred_m | ((same | over_m) & (scal < 0.0))
+        else:
+            hdv_behind = jnp.zeros((n, n), dtype=bool)
+
         def solve(directed_p):
             """One full prioritized solve for a given directed coupling.
 
@@ -641,7 +667,8 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             # successor-constraint variant, HDV when no HDVs exist) are
             # dropped from the tensors entirely instead of carried as
             # always-masked slots
-            hdv_family = is_hdv_g[None, :] & ~is_hdv_g[:, None] & not_self
+            hdv_family = (is_hdv_g[None, :] & ~is_hdv_g[:, None] & not_self
+                          & ~hdv_behind)
             family_masks = [seq_pred, par_pred]
             if successor_mode == ConstraintFromSuccessor.area_of_standstill:
                 family_masks.append(
@@ -892,6 +919,27 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         return new_state, info
 
     return step
+
+
+def vehicles_at_intersection(time_step, times, positions,
+                             intersection_center, threshold):
+    """Track which vehicles are inside the intersection and since when.
+
+    Vehicles within ``threshold`` of the intersection center are "at the
+    intersection"; ``times`` records the entry step (inf when outside).
+    Reference: hlc/controller/common/vehicles_at_intersection.m.
+
+    positions: [N, 2]; times: [N] (inf-initialized). Returns (at [N] bool,
+    times [N]).
+    """
+    d = jnp.linalg.norm(
+        positions - jnp.asarray(intersection_center)[None, :], axis=-1
+    )
+    at = d < threshold
+    entering = at & ~jnp.isfinite(times)
+    times = jnp.where(entering, time_step, times)
+    times = jnp.where(~at, jnp.inf, times)
+    return at, times
 
 
 def _del_first_rpt_last(arr: jax.Array, axis: int) -> jax.Array:

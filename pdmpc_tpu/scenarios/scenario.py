@@ -29,6 +29,12 @@ class RoadTensors(NamedTuple):
     # pad-by-repeat; row 0 = degenerate dummy). Used by the reachable-set
     # bounding kernel (bound_reachable_sets.m capability).
     corridor_rings: Any = None  # [L+1, R_max, 2] f32
+    # directional CAV-HDV coupling matrices (is_hdv_behind.m):
+    # hdv_predecessor[c, h]: lanelet h is a longitudinal predecessor of c
+    # (geometrically consecutive incl. diagonal, is_hdv_behind.m:36-56);
+    # hdv_overlap[c, h]: merging/forking relationship (:28-32)
+    hdv_predecessor: Any = None  # [L+1, L+1] bool
+    hdv_overlap: Any = None      # [L+1, L+1] bool
 
 
 class ScenarioTensors(NamedTuple):
@@ -180,8 +186,36 @@ def road_to_tensors(road) -> RoadTensors:
         )
         rings[i + 1, : ring.shape[0]] = ring
         rings[i + 1, ring.shape[0]:] = ring[-1]
+    # directional CAV-HDV matrices (is_hdv_behind.m): lanelet h precedes c
+    # if their relationship is longitudinal and h's end meets c's start
+    # (center-center or diagonal left-right / right-left, tol 1e-6,
+    # is_hdv_behind.m:36-56); overlap = merging/forking (:28-32)
+    from pdmpc_tpu.scenarios.road import RelationshipType
+
+    rel = road.relationship_type
+    rel_sym = np.maximum(rel, rel.T)  # rel is upper-triangular by (min,max)
+    tol = 1e-6
+    pred = np.zeros((n_lanelets + 1, n_lanelets + 1), dtype=bool)
+    for c in range(1, n_lanelets + 1):
+        lc = road.lanelets[c - 1]
+        for h in range(1, n_lanelets + 1):
+            if h == c or rel_sym[c, h] != RelationshipType.longitudinal:
+                continue
+            lh = road.lanelets[h - 1]
+            consecutive = (
+                np.linalg.norm(lc.center[0] - lh.center[-1]) <= tol
+                or np.linalg.norm(lc.left[0] - lh.right[-1]) <= tol
+                or np.linalg.norm(lc.right[0] - lh.left[-1]) <= tol
+            )
+            pred[c, h] = consecutive
+    overlap = (rel_sym == RelationshipType.merging) | (
+        rel_sym == RelationshipType.forking
+    )
+    overlap[0, :] = overlap[:, 0] = False
     return RoadTensors(
         boundary_segments=jnp.asarray(segs),
         boundary_seg_mask=jnp.asarray(mask),
         corridor_rings=jnp.asarray(rings),
+        hdv_predecessor=jnp.asarray(pred),
+        hdv_overlap=jnp.asarray(overlap),
     )
