@@ -684,8 +684,20 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             if cfg.manual_control_config.is_active:
                 family_masks.append(hdv_family)
             n_families = len(family_masks)
+            # static scenario obstacles (get_all_obstacles.m:17
+            # current_occupied_areas = iter.obstacles): every vehicle
+            # avoids them at every step
+            if scenario.static_obstacles is not None:
+                n_static = scenario.static_obstacles.shape[0]
+                static_cols = jnp.broadcast_to(
+                    scenario.static_obstacle_mask[None], (n, n_static)
+                )
+                family_masks = family_masks + [static_cols]
+            else:
+                n_static = 0
+            n_obs_total = n_families * n + n_static
             obs_mask_all = jnp.concatenate(family_masks, axis=1)
-            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, F*N]
+            obs_mask_l = comm.local_slice(obs_mask_all)  # [nl, F*N(+O)]
 
             planned0 = search.PlanResult(
                 trims=jnp.zeros((nl, hp), dtype=jnp.int32),
@@ -708,16 +720,23 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                     family_polys.append(prev_shifted)
                 if cfg.manual_control_config.is_active:
                     family_polys.append(hdv_rs_g)
+                if scenario.static_obstacles is not None:
+                    family_polys.append(
+                        jnp.broadcast_to(
+                            scenario.static_obstacles[:, None],
+                            (n_static, hp, VO, 2),
+                        )
+                    )
                 obs_polys = jnp.concatenate(
                     family_polys, axis=0
-                )                                        # [F*N, Hp, VO, 2]
+                )                                        # [F*N(+O), Hp, VO, 2]
 
                 def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp,
                            al):
                     obstacles = Obstacles(
                         polys=obs_polys,
                         mask=jnp.broadcast_to(
-                            mask[:, None], (n_families * n, hp)
+                            mask[:, None], (n_obs_total, hp)
                         ),
                     )
                     if cfg.optimizer_type.is_optimal:
@@ -972,15 +991,51 @@ def make_centralized_step(cfg: Config, mpa: MpaTensors,
 
     def step(state: StepState, k: jax.Array):
         del k
-        ref_points, v_ref, _, _ = jax.vmap(
+        ref_points, v_ref, seg_idx, proj_seg = jax.vmap(
             lambda i, p, t: _reference_trajectory_single(
                 mpa, scenario, i, p, t, dt
             )
         )(jnp.arange(n), state.pose, state.trim)
 
+        # the joint search applies the same obstacle + boundary constraints
+        # as the prioritized one (are_constraints_satisfied_sat.m:1-68)
+        if scenario.road is not None:
+            def boundary_for(i, seg_i, proj_i):
+                lane_of = scenario.segment_lanelet[i]
+                ids = jnp.concatenate(
+                    [lane_of[proj_i][None], lane_of[seg_i]]
+                )
+                uids = jnp.unique(ids, size=N_PREDICTED_LANELETS,
+                                  fill_value=0)
+                segs = scenario.road.boundary_segments[uids]
+                mask = scenario.road.boundary_seg_mask[uids]
+                return segs.reshape(-1, 2, 2), mask.reshape(-1)
+
+            bnd_segs, bnd_mask = jax.vmap(boundary_for)(
+                jnp.arange(n), seg_idx, proj_seg
+            )
+        else:
+            bnd_segs = bnd_mask = None
+
+        if scenario.static_obstacles is not None:
+            n_static = scenario.static_obstacles.shape[0]
+            obstacles = Obstacles(
+                polys=jnp.broadcast_to(
+                    scenario.static_obstacles[:, None],
+                    (n_static, hp, VO, 2),
+                ),
+                mask=jnp.broadcast_to(
+                    scenario.static_obstacle_mask[:, None], (n_static, hp)
+                ),
+            )
+        else:
+            obstacles = None
+
         res = plan_centralized(
             mpa, state.pose, state.trim, ref_points, v_ref, dt,
             cfg.beam_width,
+            obstacles=obstacles,
+            boundary_segments=bnd_segs, boundary_mask=bnd_mask,
         )
         poses = jnp.swapaxes(res.poses, 0, 1)            # [N, Hp, 3]
         trims = jnp.swapaxes(res.trims, 0, 1)            # [N, Hp]

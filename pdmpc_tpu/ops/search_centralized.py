@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from pdmpc_tpu.models.mpa import MpaTensors
-from pdmpc_tpu.ops.search import _sat_separates_batch, pad_polys_to_vo
+from pdmpc_tpu.ops.search import (
+    Obstacles,
+    _sat_separates_batch,
+    candidate_boundary_violations,
+    pad_polys_to_vo,
+)
 
 
 class JointPlanResult(NamedTuple):
@@ -38,8 +43,20 @@ def plan_centralized(
     v_ref: jax.Array,        # [N, Hp]
     dt: float,
     beam_width: int,
+    obstacles: Obstacles | None = None,
+    boundary_segments: jax.Array | None = None,   # [N, S, 2, 2]
+    boundary_mask: jax.Array | None = None,       # [N, S]
 ) -> JointPlanResult:
-    """Joint plan for all vehicles (no coupling graph, no fallback)."""
+    """Joint plan for all vehicles (no coupling graph, no fallback).
+
+    The joint search applies the same edge evaluation as the prioritized
+    one (are_constraints_satisfied_sat.m:1-68): pairwise vehicle collisions
+    within a candidate tuple, static/dynamic obstacle polygons
+    (``obstacles``, shared by all vehicles), and per-vehicle lanelet
+    boundary segments (``boundary_segments``) checked against the
+    without-offset swept areas (large offset at the final step,
+    GraphSearch.m:166-174).
+    """
     n_veh = x0.shape[0]
     n = mpa.n_trims
     hp = mpa.Hp
@@ -63,9 +80,18 @@ def plan_centralized(
     g0 = jnp.zeros((b,))
     valid0 = jnp.zeros((b,), dtype=bool).at[0].set(True)
 
+    check_obstacles = obstacles is not None
+    check_boundary = boundary_segments is not None
+    if check_obstacles:
+        obs_polys_by_step = jnp.moveaxis(obstacles.polys, 1, 0)
+        obs_mask_by_step = jnp.moveaxis(obstacles.mask, 1, 0)
+    else:  # dummy scan inputs with a unit obstacle axis
+        obs_polys_by_step = jnp.zeros((hp, 1, 1, 2))
+        obs_mask_by_step = jnp.zeros((hp, 1), dtype=bool)
+
     def layer(carry, xs):
         pose, trim, g, valid, n_expanded = carry
-        k, trans_k = xs
+        k, trans_k, obs_k, obs_mask_k = xs
 
         # per-vehicle successor feasibility for all tuples
         allowed_vt = trans_k[trim]                      # [B, N, n]
@@ -121,6 +147,41 @@ def plan_centralized(
                 sep = _sat_separates_batch(world[:, :, i], world[:, :, j])
                 collide = collide | ~sep
 
+        if check_obstacles:
+            # every vehicle's swept area vs every active obstacle polygon
+            # at this step (are_constraints_satisfied_sat.m:15-35)
+            sep_o = _sat_separates_batch(
+                world[:, :, :, None], obs_k[None, None, None]
+            )                                           # [B, T, N, n_obs]
+            collide = collide | jnp.any(
+                ~sep_o & obs_mask_k[None, None, None, :], axis=(-1, -2)
+            )
+
+        if check_boundary:
+            # without-offset swept areas, large offset at the final step
+            areas_b = jnp.where(
+                k == hp - 1,
+                _gather_areas(mpa.area_large_offset, trim, decode),
+                _gather_areas(mpa.area_no_offset, trim, decode),
+            )
+            bx = (
+                c[:, None, :, None] * areas_b[..., 0]
+                - s[:, None, :, None] * areas_b[..., 1]
+                + pose[:, None, :, None, 0]
+            )
+            by = (
+                s[:, None, :, None] * areas_b[..., 0]
+                + c[:, None, :, None] * areas_b[..., 1]
+                + pose[:, None, :, None, 1]
+            )
+            world_b = jnp.stack([bx, by], axis=-1)      # [B, T, N, VA, 2]
+            for i in range(n_veh):
+                cross = candidate_boundary_violations(
+                    world_b[:, :, i].reshape(b * t_total, va, 2),
+                    boundary_segments[i], boundary_mask[i],
+                )
+                collide = collide | cross.reshape(b, t_total)
+
         feasible = valid[:, None] & allowed & ~collide  # [B, T]
         n_expanded = n_expanded + jnp.sum(feasible)
 
@@ -148,7 +209,7 @@ def plan_centralized(
     (pose_f, trim_f, g_f, valid_f, n_expanded), layers = jax.lax.scan(
         layer,
         (pose0, trims0, g0, valid0, jnp.array(0, dtype=jnp.int32)),
-        (ks, mpa.transition),
+        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step),
     )
     del pose_f, trim_f
     poses_l, trims_l, parents_l, _ = layers

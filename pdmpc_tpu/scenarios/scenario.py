@@ -47,6 +47,10 @@ class ScenarioTensors(NamedTuple):
     start_poses: Any       # [N, 3] f32
     start_trims: Any       # [N] i32
     is_hdv: Any = None     # [N] bool (human-driven vehicles; ManualControlConfig)
+    # static scenario obstacles (Scenario.m:75-88 obstacles list,
+    # get_all_obstacles.m:17): fixed polygons every vehicle must avoid
+    static_obstacles: Any = None      # [O, VO, 2] f32 (pad-by-repeat)
+    static_obstacle_mask: Any = None  # [O] bool
     # road scenarios only (None for free-space scenarios):
     segment_lanelet: Any = None  # [N, P-1] i32: 1-based lanelet id per path
     #                              segment (0 = none)
@@ -72,6 +76,9 @@ class Scenario:
     )
     road: Any = None  # RoadData for commonroad scenarios
     is_hdv: Any = None  # [N] bool; HDV vehicles (ManualControlConfig.hdv_ids)
+    # static obstacle polygons (Scenario.m obstacles property): list of
+    # [V_i, 2] arrays every vehicle must avoid
+    obstacles: list[np.ndarray] = field(default_factory=list)
 
     # road scenarios attach these (commonroad.py):
     lanelet_indices: Any = None   # per vehicle: list of 1-based lanelet ids
@@ -113,6 +120,22 @@ class Scenario:
             if self.is_hdv is not None
             else np.zeros(n, dtype=bool)
         )
+
+        static_obstacles = static_obstacle_mask = None
+        if self.obstacles:
+            from pdmpc_tpu.ops.search import VO
+
+            o = len(self.obstacles)
+            obs = np.zeros((o, VO, 2), dtype=np.float32)
+            for i, poly in enumerate(self.obstacles):
+                poly = np.asarray(poly, dtype=np.float32)
+                assert poly.shape[0] <= VO, (
+                    f"obstacle polygon has {poly.shape[0]} > {VO} vertices"
+                )
+                obs[i, : poly.shape[0]] = poly
+                obs[i, poly.shape[0]:] = poly[-1]
+            static_obstacles = jnp.asarray(obs)
+            static_obstacle_mask = jnp.ones((o,), dtype=bool)
         return ScenarioTensors(
             reference_paths=jnp.asarray(paths),
             path_cumlen=jnp.asarray(cumlen, dtype=jnp.float32),
@@ -123,6 +146,8 @@ class Scenario:
             start_poses=jnp.asarray(self.start_poses, dtype=jnp.float32),
             start_trims=jnp.asarray(self.start_trims, dtype=jnp.int32),
             is_hdv=jnp.asarray(is_hdv),
+            static_obstacles=static_obstacles,
+            static_obstacle_mask=static_obstacle_mask,
             segment_lanelet=segment_lanelet,
             road=road_tensors,
         )
