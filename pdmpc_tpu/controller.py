@@ -349,6 +349,19 @@ def _solve_optimal(cfg: Config, comm, solve, adjacency):
     order = jnp.argsort(~unique_mask, stable=True)      # uniques first
     sel = order[:p_max]
     n_unique = jnp.sum(unique_mask)
+    if p_max < f:
+        # max_priority_permutations can silently drop acyclic orientations
+        # on dense graphs — surface it (the reference enumerates all
+        # 2^edges orientations, Prioritizer.unique_priorities:97-140)
+        jax.lax.cond(
+            n_unique > p_max,
+            lambda: jax.debug.print(
+                "WARNING optimal_priority: {n} unique priority "
+                "orientations truncated to max_priority_permutations={p}",
+                n=n_unique, p=p_max, ordered=False,
+            ),
+            lambda: None,
+        )
     valid_p = jnp.arange(p_max) < jnp.minimum(n_unique, p_max)
     directed_stack = orient[sel]                        # [P, N, N]
 

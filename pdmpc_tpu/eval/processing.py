@@ -64,19 +64,51 @@ def data_n_expanded(result: ExperimentResult) -> np.ndarray:
     return np.asarray(result.infos.n_expanded).sum(axis=-1)
 
 
-def normalize_timing_results(timings: dict) -> dict:
+def normalize_timing_results(timings: list[dict] | dict) -> list[dict] | dict:
     """Cross-controller clock alignment.
 
-    Reference: eval/2-processing/normalize_timing_results.m performs a
-    least-squares alignment of per-NUC clocks on the shared
-    "all messages received" event. Single-program TPU runs share one clock,
-    so spans are already aligned; multi-host runs would subtract each
-    host's ``controller_start_time`` here.
+    Reference: eval/2-processing/normalize_timing_results.m:14-60 — having
+    received all messages is a (nearly) simultaneous event on every
+    controller, so per-controller clocks are aligned by the least-squares
+    offset of each controller's per-step ``receive_from_others`` end times
+    against the across-controller mean (with a constant design matrix the
+    least-squares solution IS the mean residual); ``controller_start_time``
+    is reset to the fleet minimum and the applied ``offset`` is recorded.
+
+    ``timings``: one timing struct per controller (a single struct — the
+    single-program case — is returned unchanged, like the reference's
+    sequential-mode early exit). Each struct maps span name ->
+    [2, n_steps] (start; duration) plus scalar ``controller_start_time``.
     """
-    start = timings.get("controller_start_time", 0.0)
-    out = dict(timings)
-    out["controller_start_time_normalized"] = 0.0
-    del start
+    if isinstance(timings, dict):
+        return timings
+    if len(timings) <= 1:
+        return timings
+
+    t_end = np.stack(
+        [np.sum(np.asarray(t["receive_from_others"]), axis=0)
+         for t in timings]
+    )                                                   # [n_ctrl, n_steps]
+    t_end_mean = np.nanmean(t_end, axis=0)
+    min_start = min(t.get("controller_start_time", 0.0) for t in timings)
+
+    out = []
+    for i, t in enumerate(timings):
+        offset = float(np.nanmean(t_end[i] - t_end_mean))
+        norm: dict = {}
+        for name, value in t.items():
+            if name == "controller_start_time":
+                norm[name] = min_start
+            elif name == "offset":
+                continue
+            elif isinstance(value, np.ndarray) and value.ndim == 2:
+                shifted = value.copy()
+                shifted[0, :] = shifted[0, :] - offset
+                norm[name] = shifted
+            else:
+                norm[name] = value
+        norm["offset"] = offset
+        out.append(norm)
     return out
 
 

@@ -41,6 +41,51 @@ def bicycle_ode(x: np.ndarray, u: np.ndarray, lf: float = LF,
     )
 
 
+# Identified muCar parameter vector (MuCar.m:5; vehicle paper
+# https://doi.org/10.1016/j.ifacol.2020.12.1821)
+MUCAR_P = np.array(
+    [1.004582, -0.142938, 0.195236, 3.560576, -2.190728, -9.726828,
+     2.515565, 1.321199, 0.032208, -0.012863]
+)
+
+
+def mucar_ode(x: np.ndarray, u: np.ndarray,
+              p: np.ndarray = MUCAR_P) -> np.ndarray:
+    """dx/dt of the identified CPM-lab muCar model.
+
+    Reference: hlc/model/differential_equations/MuCar.m:26-35. 4 states
+    (x, y, yaw, v), 2 inputs (motor command f, reference steering
+    delta_ref). Defined for lab deployment parity; the MPA integrates the
+    bicycle model like the reference does (MotionPrimitiveAutomaton.m).
+    """
+    yaw, v = x[2], x[3]
+    f, delta_ref = u[0], u[1]
+    delta = delta_ref + p[7]
+    speed = p[0] * v * (1.0 + p[1] * delta**2)
+    return np.array(
+        [
+            speed * np.cos(yaw + p[2] * delta + p[8]),
+            speed * np.sin(yaw + p[2] * delta + p[8]),
+            p[3] * v * delta,
+            p[4] * v + p[5] * np.sign(f) * np.abs(f) ** p[6],
+        ]
+    )
+
+
+def mucar_input_from_trim(speed: float, steering: float,
+                          p: np.ndarray = MUCAR_P) -> np.ndarray:
+    """Steady-state input (f, delta_ref) holding a trim.
+
+    Reference: MuCar.compute_input_from_trim (MuCar.m:37-42), transcribed
+    as-is (f = sign(v) * nthroot(p5/p6 * v, p7)); the steering line there
+    references an undefined variable — the intended ``trim_in.steering``
+    is used here.
+    """
+    f = np.sign(speed) * np.abs(p[4] / p[5] * speed) ** (1.0 / p[6])
+    delta_ref = steering - p[7]
+    return np.array([f, delta_ref])
+
+
 def integrate_rk4(x0: np.ndarray, u: np.ndarray, duration: float,
                   n_points: int, substeps: int = 16) -> np.ndarray:
     """Integrate the bicycle ODE over ``duration`` with constant input ``u``.

@@ -126,15 +126,27 @@ class SimulationPlant:
         return self.options.dt_seconds
 
 
+# CPM-lab map limits for the border stop check
+# (CpmLab.is_veh_at_map_border, CpmLab.m:301-316)
+_MAP_X = (0.0, 4.5)
+_MAP_Y = (0.0, 4.0)
+_VEHICLE_HALF_WIDTH = 0.05
+
+
 class ExternalPlant:
     """CpmLab-shaped adapter for an external plant.
 
     The user supplies ``measure_fn`` and ``command_fn`` callbacks (the role
     of the lab's DDS readers/writers, CpmLab.m:318-332). ``apply``
-    maintains an Hp-deep trajectory ring buffer with per-point validity
-    times, like the reference's VehicleCommandTrajectory writer with
-    nanosecond ``valid_after`` stamps (CpmLab.m:230-284); the middleware
-    period may override ``dt_seconds`` (CpmLab.m:76).
+    maintains an (Hp+1)-point trajectory ring buffer per vehicle: each
+    step shifts the buffer by one and appends the newly applied pose
+    stamped ``Hp`` periods into the future — the vehicle follows commands
+    with the reference's Hp-1-step delay (CpmLab.m:230-284,
+    "Delay of Hp-1 steps because of buffer"). ``valid_after`` is the
+    second buffered point's stamp (CpmLab.m:278-280), and a vehicle whose
+    4th buffered point leaves the map borders stops the experiment
+    (is_veh_at_map_border, CpmLab.m:301-316). The middleware period may
+    override ``dt_seconds`` (CpmLab.m:76).
     """
 
     def __init__(self, options: Config,
@@ -153,32 +165,77 @@ class ExternalPlant:
         )
         self.time_now_ns = 0
         self._stopped = False
+        self._buffers: list[list[dict]] | None = None
+        self.out_of_map_limits: np.ndarray | None = None
 
     def measure(self) -> PlantMeasurement:
         self.time_now_ns += int(self._dt * 1e9)
         return self._measure_fn()
 
-    def apply(self, predicted_poses: np.ndarray,
-              predicted_trims: np.ndarray, k: int) -> None:
-        # Hp trajectory points with valid_after stamps, one control period
-        # apart (the reference delays by Hp-1 steps for consistency;
-        # validity stamping is the transferable part of that contract)
-        commands = []
+    def _init_buffers(self, predicted_poses: np.ndarray,
+                      speeds: np.ndarray) -> None:
+        """Pre-fill each buffer with the current pose (the lab equivalent
+        starts from standstill at the measured pose)."""
         n, hp = predicted_poses.shape[:2]
+        dt_ns = int(self._dt * 1e9)
+        self._buffers = []
         for v in range(n):
-            points = [
+            self._buffers.append([
                 {
-                    "t_ns": self.time_now_ns + int((i + 1) * self._dt * 1e9),
-                    "px": float(predicted_poses[v, i, 0]),
-                    "py": float(predicted_poses[v, i, 1]),
-                    "yaw": float(predicted_poses[v, i, 2]),
+                    "t_ns": self.time_now_ns + i * dt_ns,
+                    "px": float(predicted_poses[v, 0, 0]),
+                    "py": float(predicted_poses[v, 0, 1]),
+                    "vx": 0.0,
+                    "vy": 0.0,
                 }
-                for i in range(hp)
-            ]
-            commands.append({"vehicle": v, "points": points})
+                for i in range(hp + 1)
+            ])
+        self.out_of_map_limits = np.zeros(n, dtype=bool)
+
+    def apply(self, predicted_poses: np.ndarray,
+              predicted_trims: np.ndarray, k: int,
+              trim_speeds: np.ndarray | None = None) -> None:
+        n, hp = predicted_poses.shape[:2]
+        speeds = (
+            np.zeros(n) if trim_speeds is None else np.asarray(trim_speeds)
+        )
+        if self._buffers is None:
+            self._init_buffers(predicted_poses, speeds)
+        dt_ns = int(self._dt * 1e9)
+        commands = []
+        for v in range(n):
+            # circshift by -1, append the new point Hp periods ahead
+            # (CpmLab.m:252-269)
+            buf = self._buffers[v]
+            buf.pop(0)
+            x_next = float(predicted_poses[v, 0, 0])
+            y_next = float(predicted_poses[v, 0, 1])
+            yaw_next = float(predicted_poses[v, 0, 2])
+            buf.append({
+                "t_ns": self.time_now_ns + hp * dt_ns,
+                "px": x_next,
+                "py": y_next,
+                "vx": float(np.cos(yaw_next) * speeds[v]),
+                "vy": float(np.sin(yaw_next) * speeds[v]),
+            })
+            # map-border check on the 4th buffered point (CpmLab.m:311-315)
+            probe = buf[3] if len(buf) > 3 else buf[-1]
+            self.out_of_map_limits[v] = (
+                probe["px"] < _MAP_X[0] + _VEHICLE_HALF_WIDTH
+                or probe["px"] > _MAP_X[1] - _VEHICLE_HALF_WIDTH
+                or probe["py"] < _MAP_Y[0] + _VEHICLE_HALF_WIDTH
+                or probe["py"] > _MAP_Y[1] - _VEHICLE_HALF_WIDTH
+            )
+            commands.append({
+                "vehicle": v,
+                "points": [dict(p) for p in buf],
+                "valid_after_ns": buf[1]["t_ns"],
+            })
         self._command_fn(commands)
 
     def should_stop(self) -> bool:
+        if self.out_of_map_limits is not None and self.out_of_map_limits.any():
+            return True
         return self._stopped or self._stop_fn()
 
     def end_run(self) -> None:
