@@ -770,6 +770,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                         mpa, pose, trim, ref_p, vr, obstacles, dt,
                         cfg.mcts_n_rollouts, key,
                         boundary_segments=bs, boundary_mask=bm,
+                        temperature=cfg.mcts_temperature,
                     )
 
                 at_level = levels_l == level

@@ -535,6 +535,7 @@ def plan_trajectory_sampled(
     key: jax.Array,
     boundary_segments: jax.Array | None = None,
     boundary_mask: jax.Array | None = None,
+    temperature: float = 0.002,
 ) -> PlanResult:
     """Sampled anytime search: batched random rollouts through the lattice.
 
@@ -546,6 +547,19 @@ def plan_trajectory_sampled(
     evaluated fully in parallel; infeasible edges kill a rollout, and the
     cheapest surviving complete rollout wins (the candidate-leaf priority
     queue's role, :8,16-27). Deterministic given ``key``.
+
+    Budget equivalence: one rollout evaluates Hp edges exactly, so
+    ``n_rollouts = ceil(250 / Hp)`` (~42 at Hp=6) matches the reference's
+    250-expansion budget in exact edge evaluations; the default (256,
+    config.mcts_n_rollouts) spends more because parallel rollouts are
+    nearly free on TPU.
+
+    The rollout policy is cost-guided: successor trims are drawn from a
+    softmax over the negative one-step cost (squared distance to the
+    reference point) at ``temperature`` (m^2 units; <= 0 for the uniform
+    policy). This mirrors the reference MCTS's cost-focused candidate
+    ordering (its priority queue keeps cheap partial paths first) while
+    retaining exploration.
     """
     n = mpa.n_trims
     hp = mpa.Hp
@@ -567,23 +581,31 @@ def plan_trajectory_sampled(
         k, trans_k, obs_polys, obs_mask, key_k = xs
 
         allowed = trans_k[trim]                          # [R, n]
-        # uniform choice among allowed successors (MCTS rollout policy)
-        logits = jnp.where(allowed, 0.0, -jnp.inf)
+        c = jnp.cos(pose[:, 2])
+        s = jnp.sin(pose[:, 2])
+        # full successor fan (geometry of every candidate child) feeds the
+        # cost-guided rollout policy
+        fan_x = c[:, None] * mpa.dx[trim] - s[:, None] * mpa.dy[trim] \
+            + pose[:, 0:1]                               # [R, n]
+        fan_y = s[:, None] * mpa.dx[trim] + c[:, None] * mpa.dy[trim] \
+            + pose[:, 1:2]
+        fan_d2 = (fan_x - ref_points[k, 0]) ** 2 \
+            + (fan_y - ref_points[k, 1]) ** 2            # [R, n]
+        if temperature > 0.0:
+            logits = jnp.where(allowed, -fan_d2 / temperature, -jnp.inf)
+        else:
+            logits = jnp.where(allowed, 0.0, -jnp.inf)
         child_trim = jax.random.categorical(
             key_k, logits, axis=-1
         ).astype(jnp.int32)                              # [R]
         any_allowed = jnp.any(allowed, axis=-1)
 
-        c = jnp.cos(pose[:, 2])
-        s = jnp.sin(pose[:, 2])
-        mdx = mpa.dx[trim, child_trim]
-        mdy = mpa.dy[trim, child_trim]
-        child_x = c * mdx - s * mdy + pose[:, 0]
-        child_y = s * mdx + c * mdy + pose[:, 1]
+        rr = jnp.arange(r)
+        child_x = fan_x[rr, child_trim]
+        child_y = fan_y[rr, child_trim]
         child_yaw = pose[:, 2] + mpa.dyaw[trim, child_trim]
-        child_pos = jnp.stack([child_x, child_y], axis=-1)
 
-        g = g + jnp.sum((child_pos - ref_points[k]) ** 2, axis=-1)
+        g = g + fan_d2[rr, child_trim]
 
         areas = mpa.area[trim, child_trim]               # [R, VA, 2]
         ax = c[:, None] * areas[..., 0] - s[:, None] * areas[..., 1] \
