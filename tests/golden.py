@@ -1,0 +1,86 @@
+"""Golden-trajectory machinery for system tests.
+
+Reference: tests/systemtests/systemtests.m compares full main() runs
+against stored golden ExperimentResults (expected_results/, git-LFS);
+goldens are regenerated with replace_expected_results.m
+(docs/continuous-integration.md:30-39). Here goldens are npz files under
+tests/expected_results/, regenerated with
+``python -m tests.replace_expected_results``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+EXPECTED_DIR = os.path.join(os.path.dirname(__file__), "expected_results")
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(EXPECTED_DIR, name + ".npz")
+
+
+def save_golden(name: str, result) -> str:
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    path = golden_path(name)
+    np.savez_compressed(
+        path,
+        poses=np.asarray(result.infos.poses),
+        trims=np.asarray(result.infos.trims),
+        needs_fallback=np.asarray(result.infos.needs_fallback),
+        levels=np.asarray(result.infos.levels),
+    )
+    return path
+
+
+def compare_golden(name: str, result, atol: float = 1e-4) -> None:
+    """Assert a run matches its stored golden (drift detector)."""
+    path = golden_path(name)
+    assert os.path.isfile(path), (
+        f"golden {path} missing — regenerate with "
+        "`python -m tests.replace_expected_results`"
+    )
+    with np.load(path) as g:
+        np.testing.assert_allclose(
+            np.asarray(result.infos.poses), g["poses"], atol=atol,
+            err_msg=f"{name}: predicted poses drifted from golden "
+                    "(regenerate goldens if the change is intended)",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(result.infos.needs_fallback), g["needs_fallback"],
+            err_msg=f"{name}: fallback pattern drifted from golden",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(result.infos.levels), g["levels"],
+            err_msg=f"{name}: computation levels drifted from golden",
+        )
+
+
+def vehicle_centers_offroad(result, scenario) -> list[tuple[int, int]]:
+    """(step, vehicle) pairs whose applied pose center leaves the drivable
+    corridor of the vehicle's own reference-loop lanelets."""
+    import jax.numpy as jnp
+
+    from pdmpc_tpu.ops import geometry as geo
+    from pdmpc_tpu.scenarios.scenario import road_to_tensors
+
+    rt = road_to_tensors(scenario.road)
+    rings = np.asarray(rt.corridor_rings)
+    poses = np.asarray(result.infos.poses)[:, :, 0, :2]  # applied centers
+    bad = []
+    for v in range(poses.shape[1]):
+        ids = sorted(set(int(i) for i in scenario.lanelet_indices[v]))
+        v_rings = jnp.asarray(rings[ids])
+        for k in range(poses.shape[0]):
+            p = jnp.asarray(poses[k, v])
+            inside = bool(
+                jnp.any(
+                    jnp.stack(
+                        [geo.point_in_ring(p, r) for r in v_rings]
+                    )
+                )
+            )
+            if not inside:
+                bad.append((k, v))
+    return bad

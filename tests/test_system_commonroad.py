@@ -1,0 +1,91 @@
+"""Commonroad end-to-end system tests with golden trajectories.
+
+Reference: tests/systemtests/systemtests.m:3-14 — full main() runs
+compared against stored golden results — plus the 20-vehicle CPM scenario
+(the headline correctness target, BASELINE.md) asserted collision-free,
+on-road, deadlock-free, and deterministic.
+"""
+
+import numpy as np
+import pytest
+
+from pdmpc_tpu.config import Config, ScenarioType
+from pdmpc_tpu.experiment import create_scenario, run_experiment
+from pdmpc_tpu.models.mpa import build_mpa
+from tests.golden import compare_golden, vehicle_centers_offroad
+from tests.test_controller import pairwise_vehicle_collisions
+
+# the 3-vehicle config mirrors the reference CI scale
+# (Config_systemtests_prioritized.json: 3 vehicles, T_end = 4 s)
+GOLDEN_CONFIGS = {
+    "commonroad_03veh": Config(
+        scenario_type=ScenarioType.commonroad, amount=3, T_end=4.0,
+        beam_width=64,
+    ),
+    "commonroad_20veh": Config(
+        scenario_type=ScenarioType.commonroad, amount=20, T_end=2.0,
+        beam_width=64,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def result_3veh():
+    return run_experiment(GOLDEN_CONFIGS["commonroad_03veh"])
+
+
+@pytest.fixture(scope="module")
+def result_20veh():
+    return run_experiment(GOLDEN_CONFIGS["commonroad_20veh"])
+
+
+class TestThreeVehicles:
+    def test_no_collisions(self, result_3veh):
+        assert pairwise_vehicle_collisions(result_3veh) == []
+
+    def test_on_road(self, result_3veh):
+        cfg = GOLDEN_CONFIGS["commonroad_03veh"].validate()
+        scenario = create_scenario(cfg, build_mpa(cfg))
+        assert vehicle_centers_offroad(result_3veh, scenario) == []
+
+    def test_no_deadlock(self, result_3veh):
+        poses = np.asarray(result_3veh.infos.poses)[:, :, 0]
+        d = np.linalg.norm(poses[-1, :, :2] - poses[0, :, :2], axis=-1)
+        assert (d > 0.5).all(), f"stuck vehicles: moved {d}"
+
+    def test_deterministic(self, result_3veh):
+        r2 = run_experiment(GOLDEN_CONFIGS["commonroad_03veh"])
+        np.testing.assert_array_equal(
+            np.asarray(result_3veh.infos.poses),
+            np.asarray(r2.infos.poses),
+        )
+
+    def test_matches_golden(self, result_3veh):
+        compare_golden("commonroad_03veh", result_3veh)
+
+
+class TestTwentyVehicles:
+    """The headline 20-vehicle CPM scenario (BASELINE.md correctness
+    target)."""
+
+    def test_no_collisions(self, result_20veh):
+        assert pairwise_vehicle_collisions(result_20veh) == []
+
+    def test_on_road(self, result_20veh):
+        cfg = GOLDEN_CONFIGS["commonroad_20veh"].validate()
+        scenario = create_scenario(cfg, build_mpa(cfg))
+        assert vehicle_centers_offroad(result_20veh, scenario) == []
+
+    def test_no_deadlock(self, result_20veh):
+        poses = np.asarray(result_20veh.infos.poses)[:, :, 0]
+        d = np.linalg.norm(poses[-1, :, :2] - poses[0, :, :2], axis=-1)
+        assert (d > 0.3).all(), f"stuck vehicles: moved {d}"
+
+    def test_fallbacks_bounded(self, result_20veh):
+        # fallback propagation may fire under congestion, but a majority
+        # falling back every step would mean the planner is broken
+        fb = np.asarray(result_20veh.infos.needs_fallback)
+        assert fb.mean() < 0.5
+
+    def test_matches_golden(self, result_20veh):
+        compare_golden("commonroad_20veh", result_20veh)
