@@ -102,7 +102,11 @@ def run_with_plant(options: Config, plant: Plant | None = None,
                 plant.apply(info_np.poses, info_np.trims, k)
 
         if on_step is not None:
-            on_step(k, info_np)
+            # truthy return requests abort (visualization.PlotterOnline's
+            # ESC hotkey — the reference Plotter.m abort path)
+            if on_step(k, info_np):
+                k += 1
+                break
         k += 1
 
     timing.stop("control_loop")

@@ -139,6 +139,76 @@ class PlotterOffline:
         return path
 
 
+class PlotterOnline:
+    """Live plotting loop fed by the control loop's ``on_step`` hook.
+
+    Reference: visualization/PlotterOnline.m:86-100 (plotting loop fed by
+    the /plotting DDS topic) + Plotter.m hotkeys. TPU adaptation: the DDS
+    topic becomes the ``on_step(k, info)`` observer of
+    ``hlc.run_with_plant``; pass an instance directly as ``on_step``.
+
+    Hotkeys (active when a windowed matplotlib backend is in use, mirroring
+    Plotter.m's key_pressed_callback):
+      space  pause / resume the experiment loop
+      c      toggle coupling lines
+      p      toggle prediction trajectories
+      escape / q  request experiment abort (the hook returns True and
+                  run_with_plant stops, like the reference's ESC hotkey)
+
+    Headless (Agg) use is safe: draws go to the in-memory canvas and no
+    key events ever fire.
+    """
+
+    def __init__(self, road=None, plot_limits=None, pause_s: float = 0.001):
+        if plot_limits is None and road is not None:
+            plot_limits = np.array([[0.0, 4.5], [0.0, 4.0]])
+        self.road = road
+        self.plot_limits = plot_limits
+        self.pause_s = pause_s
+        self.show_couplings = True
+        self.show_predictions = True
+        self.paused = False
+        self.stop_requested = False
+        self.fig, self.ax = plt.subplots(figsize=(6, 5.5), dpi=110)
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self._interactive = matplotlib.get_backend().lower() not in (
+            "agg", "pdf", "svg", "ps", "template",
+        )
+        if self._interactive:
+            plt.ion()
+            self.fig.show()
+
+    def _on_key(self, event) -> None:
+        if event.key == " ":
+            self.paused = not self.paused
+        elif event.key == "c":
+            self.show_couplings = not self.show_couplings
+        elif event.key == "p":
+            self.show_predictions = not self.show_predictions
+        elif event.key in ("escape", "q"):
+            self.stop_requested = True
+
+    def __call__(self, k: int, info) -> bool:
+        """on_step hook: draw step ``k``; returns True to abort the loop."""
+        stacked = type(info)(*[np.asarray(x)[None] for x in info])
+        plot_step(self.ax, stacked, 0, road=self.road,
+                  plot_limits=self.plot_limits,
+                  show_couplings=self.show_couplings,
+                  show_predictions=self.show_predictions)
+        self.ax.set_title(self.ax.get_title() + f"  [k={k}]", fontsize=9)
+        if self._interactive:
+            self.fig.canvas.draw_idle()
+            plt.pause(self.pause_s)
+            while self.paused and not self.stop_requested:
+                plt.pause(0.05)
+        else:
+            self.fig.canvas.draw()
+        return self.stop_requested
+
+    def close(self) -> None:
+        plt.close(self.fig)
+
+
 def export_fig(fig, path: str, preset: str = "paper") -> str:
     """Size/style presets. Reference: eval/3-plotting/ExportFigConfig.m."""
     sizes = {
