@@ -158,8 +158,16 @@ def _reachable_sets_at_pose(mpa: MpaTensors, pose, trim):
 # ---------------------------------------------------------------------------
 
 
-def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed):
-    """Adjacency [N, N] bool from the configured coupling strategy."""
+def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed,
+            pred_lanelets=None, adjacency_lanelets=None):
+    """Adjacency [N, N] bool from the configured coupling strategy.
+
+    ``pred_lanelets`` [N, Lp] (1-based ids, 0 = none) and
+    ``adjacency_lanelets`` [L+1, L+1] enable DistanceCoupler.m:28-31's
+    lanelet-adjacency prefilter on road scenarios: vehicles whose
+    current+predicted lanelets are not adjacent are skipped regardless of
+    Euclidean distance.
+    """
     n = reachable_sets.shape[0]
     eye = jnp.eye(n, dtype=bool)
     if cfg.coupling == CouplingStrategies.no_coupling:
@@ -172,7 +180,17 @@ def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed):
             poses[:, None, :2] - poses[None, :, :2], axis=-1
         )
         max_distance = 2.0 * max_mpa_speed * cfg.dt_seconds * cfg.Hp
-        return (d <= max_distance) & ~eye
+        coupled = (d <= max_distance) & ~eye
+        if pred_lanelets is not None and adjacency_lanelets is not None:
+            # is_any_lanelet_adjacent (DistanceCoupler.m:56-63): any pair of
+            # (current+predicted) lanelets adjacent. Row/col 0 of the
+            # adjacency matrix is all-False, so padded id 0 is inert.
+            pair_adj = adjacency_lanelets[
+                pred_lanelets[:, None, :, None],
+                pred_lanelets[None, :, None, :],
+            ]                                      # [N, N, Lp, Lp]
+            coupled &= jnp.any(pair_adj, axis=(-1, -2))
+        return coupled
     # reachable_set_coupling (default): overlap area of last-step reachable
     # sets > threshold (ReachableSetCoupler.m:39-48)
     last = reachable_sets[:, -1]              # [N, K, 2]
@@ -528,10 +546,10 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 mask = scenario.road.boundary_seg_mask[uids]
                 rings = scenario.road.corridor_rings[uids]
                 return (segs.reshape(-1, 2, 2), mask.reshape(-1), rings,
-                        lane_of[proj_i])
+                        lane_of[proj_i], uids)
 
             (bnd_segs, bnd_mask, corridor_rings,
-             current_lanelet) = jax.vmap(boundary_for)(
+             current_lanelet, pred_lanelets) = jax.vmap(boundary_for)(
                 gidx, seg_idx, proj_seg
             )
             if use_pallas:
@@ -546,7 +564,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 seg_pre = None
         else:
             bnd_segs = bnd_mask = seg_pre = corridor_rings = None
-            current_lanelet = None
+            current_lanelet = pred_lanelets = None
 
         occupied_offset = jax.vmap(
             lambda p: _occupied_area(p, cfg.offset)
@@ -604,7 +622,13 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         hdv_rs_g = pad_polys_to_vo(comm.gather_veh(hdv_rs))
 
         # ---- coupling graph (replicated: same inputs on every shard) -----
-        adjacency = _couple(cfg, rs_g, pose_g, max_mpa_speed)
+        adjacency = _couple(
+            cfg, rs_g, pose_g, max_mpa_speed,
+            pred_lanelets=(comm.gather_veh(pred_lanelets)
+                           if pred_lanelets is not None else None),
+            adjacency_lanelets=(scenario.road.adjacency_lanelets
+                                if scenario.road is not None else None),
+        )
         adjacency = adjacency & ~is_hdv_g[:, None] & ~is_hdv_g[None, :]
         if cfg.priority == PriorityStrategies.explorative_priority:
             # explorative mode keeps the winning prioritization of the

@@ -155,15 +155,22 @@ def cli(argv: list[str] | None = None) -> int:
                    choices=[s.value for s in ComputationMode])
     p.add_argument("--repeat", action="store_true",
                    help="re-run the last experiment (repeat.m)")
+    p.add_argument("--gui", action="store_true",
+                   help="interactive config wizard (ui/config_gui.m)")
     p.add_argument("--no-save", action="store_true")
     args = p.parse_args(argv)
 
     if args.repeat:
         result = repeat()
     else:
-        cfg = (
-            Config.load_from_file(args.config) if args.config else Config()
-        )
+        if args.gui:
+            from pdmpc_tpu.config_gui import config_gui
+
+            cfg = config_gui()
+        elif args.config:
+            cfg = Config.load_from_file(args.config)
+        else:
+            cfg = Config()
         overrides = {
             "scenario_type": ("scenario", ScenarioType),
             "amount": ("amount", int),

@@ -29,6 +29,10 @@ class RoadTensors(NamedTuple):
     # pad-by-repeat; row 0 = degenerate dummy). Used by the reachable-set
     # bounding kernel (bound_reachable_sets.m capability).
     corridor_rings: Any = None  # [L+1, R_max, 2] f32
+    # lanelet adjacency (scenarios/road_network/get_adjacent_lanelets
+    # capability): used by DistanceCoupler.m:28-31's prefilter — vehicles
+    # whose current+predicted lanelets are not adjacent are never coupled
+    adjacency_lanelets: Any = None  # [L+1, L+1] bool
     # directional CAV-HDV coupling matrices (is_hdv_behind.m):
     # hdv_predecessor[c, h]: lanelet h is a longitudinal predecessor of c
     # (geometrically consecutive incl. diagonal, is_hdv_behind.m:36-56);
@@ -241,6 +245,9 @@ def road_to_tensors(road) -> RoadTensors:
         boundary_segments=jnp.asarray(segs),
         boundary_seg_mask=jnp.asarray(mask),
         corridor_rings=jnp.asarray(rings),
+        adjacency_lanelets=jnp.asarray(
+            np.asarray(road.adjacency_lanelets, dtype=bool)
+        ),
         hdv_predecessor=jnp.asarray(pred),
         hdv_overlap=jnp.asarray(overlap),
     )

@@ -127,3 +127,59 @@ class TestResultPersistence:
             np.asarray(loaded.infos.poses), np.asarray(res.infos.poses)
         )
         assert loaded.options.isequal(res.options)
+
+
+class TestDistanceCouplerPrefilter:
+    """DistanceCoupler.m:28-31,56-63 lanelet-adjacency prefilter."""
+
+    def test_non_adjacent_lanelets_never_couple(self):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.config import Config, CouplingStrategies
+        from pdmpc_tpu.controller import _couple
+
+        cfg = Config(coupling=CouplingStrategies.distance_coupling)
+        # two vehicles 0.1 m apart (well within max_distance)
+        poses = jnp.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+        rs = jnp.zeros((2, cfg.Hp, 4, 2))
+        # vehicle 0 on lanelet 1, vehicle 1 on lanelet 2; 1 and 2 NOT
+        # adjacent
+        pred = jnp.array([[1, 0, 0], [2, 0, 0]], dtype=jnp.int32)
+        adj_ll = jnp.zeros((3, 3), dtype=bool).at[1, 1].set(True).at[
+            2, 2].set(True)
+        out = _couple(cfg, rs, poses, 1.0, pred_lanelets=pred,
+                      adjacency_lanelets=adj_ll)
+        assert not bool(out.any())
+        # make lanelets 1 and 2 adjacent -> coupled again
+        adj_ll2 = adj_ll.at[1, 2].set(True).at[2, 1].set(True)
+        out2 = _couple(cfg, rs, poses, 1.0, pred_lanelets=pred,
+                       adjacency_lanelets=adj_ll2)
+        assert bool(out2[0, 1]) and bool(out2[1, 0])
+
+    def test_padded_zero_ids_are_inert(self):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.config import Config, CouplingStrategies
+        from pdmpc_tpu.controller import _couple
+
+        cfg = Config(coupling=CouplingStrategies.distance_coupling)
+        poses = jnp.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+        rs = jnp.zeros((2, cfg.Hp, 4, 2))
+        # both vehicles only have padding ids -> no adjacency evidence
+        pred = jnp.zeros((2, 3), dtype=jnp.int32)
+        adj_ll = jnp.ones((3, 3), dtype=bool).at[0, :].set(False).at[
+            :, 0].set(False)
+        out = _couple(cfg, rs, poses, 1.0, pred_lanelets=pred,
+                      adjacency_lanelets=adj_ll)
+        assert not bool(out.any())
+
+    def test_commonroad_distance_coupling_runs(self):
+        from pdmpc_tpu.config import Config, CouplingStrategies, ScenarioType
+        from pdmpc_tpu.experiment import run_experiment
+
+        res = run_experiment(
+            Config(scenario_type=ScenarioType.commonroad, amount=2,
+                   T_end=1.0, beam_width=64,
+                   coupling=CouplingStrategies.distance_coupling)
+        )
+        assert res.n_steps == 5
