@@ -28,6 +28,12 @@ def compute_values(result, i_step_start: int = 20) -> dict:
     if len(times) > i_step_start:
         times = times[i_step_start:]
     times = times[np.isfinite(times)]
+    if times.size == 0:
+        raise ValueError(
+            "compute_values: no finite step times after the warm-up prefix "
+            f"(i_step_start={i_step_start}) — the result has too few steps "
+            "or its timing spans are all NaN"
+        )
     return {
         "med_ms": float(np.median(times) * 1e3),
         "max_ms": float(np.max(times) * 1e3),

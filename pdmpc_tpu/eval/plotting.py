@@ -22,7 +22,12 @@ import os
 
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless default WITHOUT clobbering an interactive backend: a process-wide
+# ``matplotlib.use("Agg")`` at import time would silently disable
+# visualization.PlotterOnline's live window when eval plotting is imported
+# first. Only force Agg when no display is available anyway.
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
 
 import matplotlib.pyplot as plt
 import numpy as np
