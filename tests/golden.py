@@ -48,6 +48,11 @@ def compare_golden(name: str, result, atol: float = 1e-4) -> None:
                     "(regenerate goldens if the change is intended)",
         )
         np.testing.assert_array_equal(
+            np.asarray(result.infos.trims), g["trims"],
+            err_msg=f"{name}: trim selection drifted from golden "
+                    "(poses within tolerance do not imply identical plans)",
+        )
+        np.testing.assert_array_equal(
             np.asarray(result.infos.needs_fallback), g["needs_fallback"],
             err_msg=f"{name}: fallback pattern drifted from golden",
         )
