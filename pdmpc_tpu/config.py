@@ -241,6 +241,13 @@ class Config:
     # and runs ~3x faster than the f32-precision XLA path (microbench:
     # C=3072, 128 obstacles, v5e).
     use_pallas_collision: bool | None = None
+    # Obstacle-geometry dispatch override. "auto" follows the reference's
+    # rule (are_any_obstacles_non_convex, Config.m:71-87: road scenarios
+    # use the non-convex maneuver family checked by outline/segment
+    # intersection, OptimizerInterface.m:36-46; circle + centralized use
+    # convex SAT). "convex" / "non_convex" force one family — used to
+    # measure the conservatism delta between the two paths (docs/PARITY.md).
+    obstacle_geometry: str = "auto"
 
     # ---- Dependent properties (Config.m:53-101)
     @property
@@ -259,6 +266,15 @@ class Config:
         if self.scenario_type == ScenarioType.circle or not self.is_prioritized:
             return False
         return True
+
+    @property
+    def use_non_convex_obstacles(self) -> bool:
+        """Effective obstacle-geometry dispatch (honors the override)."""
+        if self.obstacle_geometry == "convex":
+            return False
+        if self.obstacle_geometry == "non_convex":
+            return True
+        return self.are_any_obstacles_non_convex
 
     # ---- JSON round-trip (Config.m:104-195)
     def to_json_dict(self) -> dict[str, Any]:

@@ -512,6 +512,10 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     max_num_cls = min(cfg.max_num_CLs, n)
     use_reachability = cfg.isDealPredictionInconsistency
     successor_mode = cfg.constraint_from_successor
+    # obstacle-geometry dispatch (OptimizerInterface.m:36-46): road
+    # scenarios check non-convex outlines by segment intersection; circle
+    # and centralized use convex SAT
+    non_convex = cfg.use_non_convex_obstacles
     use_pallas = (
         cfg.use_pallas_collision
         if cfg.use_pallas_collision is not None
@@ -782,7 +786,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                             cfg.beam_width,
                             boundary_segments=bs, boundary_mask=bm,
                             use_pallas=use_pallas, segments_pre=sp,
-                            active=al,
+                            active=al, non_convex=non_convex,
                         )
                     # sampled search, seeded per (seed, step, vehicle) like
                     # MonteCarloTreeSearch.m:31
@@ -795,6 +799,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                         cfg.mcts_n_rollouts, key,
                         boundary_segments=bs, boundary_mask=bm,
                         temperature=cfg.mcts_temperature,
+                        non_convex=non_convex,
                     )
 
                 at_level = levels_l == level

@@ -132,7 +132,7 @@ def monte_carlo_sweep(base: Config, n_scenarios: int,
     base = base.validate()
     mpa = build_mpa(base)
     scenario = create_scenario(base, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    mpa_t = mpa.to_tensors_for(base)
     sc_t = scenario.to_tensors()
 
     state0 = initial_state(sc_t, base.Hp)

@@ -137,7 +137,7 @@ def run_experiment(options: Config) -> ExperimentResult:
     t0 = time.perf_counter()
     mpa = build_mpa(options)
     scenario = create_scenario(options, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    mpa_t = mpa.to_tensors_for(options)
     sc_t = scenario.to_tensors()
     timings["hlc_init_all"] = time.perf_counter() - t0
 
@@ -171,7 +171,7 @@ def run_experiment_batch(options: Config,
     b = n_scenarios if n_scenarios is not None else options.n_scenarios
     mpa = build_mpa(options)
     scenario = create_scenario(options, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    mpa_t = mpa.to_tensors_for(options)
     sc_t = scenario.to_tensors()
 
     run = make_run(options)

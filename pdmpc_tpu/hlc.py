@@ -43,7 +43,7 @@ def run_with_plant(options: Config, plant: Plant | None = None,
     timing.start("hlc_init_all")
     mpa = build_mpa(options)
     scenario = create_scenario(options, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    mpa_t = mpa.to_tensors_for(options)
     sc_t = scenario.to_tensors()
 
     if plant is None:

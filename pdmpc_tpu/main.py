@@ -90,7 +90,7 @@ def _run_sharded(options: Config) -> ExperimentResult:
 
     mpa = build_mpa(options)
     scenario = create_scenario(options, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    mpa_t = mpa.to_tensors_for(options)
     sc_t = scenario.to_tensors()
 
     vehicle_shards = 1

@@ -294,6 +294,15 @@ class Mpa:
         del s_c, st_c
         return int(np.argmin(d))
 
+    def to_tensors_for(self, options: "Config") -> "MpaTensors":
+        """Tensors with the options-dispatched area family.
+
+        The reference dispatches road scenarios to the non-convex maneuver
+        family + segment-intersection checking and everything else to the
+        convex family + SAT (OptimizerInterface.m:36-46, Config.m:71-87).
+        """
+        return self.to_tensors(convex=not options.use_non_convex_obstacles)
+
     def to_tensors(self, convex: bool = True) -> "MpaTensors":
         import jax.numpy as jnp
 
@@ -389,27 +398,32 @@ def _outer_poly_approx_np(points: np.ndarray, k: int) -> np.ndarray:
     return np.stack([x, y], axis=-1)
 
 
-def _reachability_analysis_offline(mpa: Mpa, area_family: np.ndarray,
-                                   max_frontier: int = 2_000_000
-                                   ) -> np.ndarray:
-    """Local reachable sets per (root trim, step): conservative convex
-    K-vertex outer approximations of the union of all reachable swept areas.
+def _enumerate_reachability(mpa: Mpa, area_family: np.ndarray,
+                            transition: np.ndarray,
+                            max_frontier: int = 2_000_000,
+                            record_frontiers: bool = False):
+    """Exact level-by-level reachability enumeration.
 
-    Vectorized re-design of the reference's brute-force polyshape-union
-    enumeration (MotionPrimitiveAutomaton.m:252-385): enumerate all feasible
-    trim paths level-by-level (with exact-duplicate pose pruning), collect
-    the transformed maneuver-area vertices, and outer-approximate.
+    Enumerate all feasible trim paths through ``transition`` [T, n, n]
+    (with exact-duplicate pose pruning), collect the transformed
+    maneuver-area vertices, and outer-approximate to K-vertex hulls.
+
+    Returns (out [n, T, K, 2], frontiers) where ``frontiers[t][root]`` is
+    the (trims, x, y, yaw) tuple of poses reachable after step t+1 —
+    recorded only when ``record_frontiers`` (used by the DP composition).
     """
-    n, hp = mpa.n_trims, mpa.Hp
-    out = np.zeros((n, hp, K_REACHABLE, 2))
+    n = mpa.n_trims
+    t_max = transition.shape[0]
+    out = np.zeros((n, t_max, K_REACHABLE, 2))
+    frontiers: list[dict] = [dict() for _ in range(t_max)]
 
     for root in range(n):
         trims = np.array([root])
         xs = np.zeros(1)
         ys = np.zeros(1)
         yaws = np.zeros(1)
-        for t in range(hp):
-            mask = mpa.transition[t][trims]          # [F, n]
+        for t in range(t_max):
+            mask = transition[t][trims]              # [F, n]
             idx_f, idx_j = np.nonzero(mask)
             if idx_f.size == 0:
                 # No feasible continuation (cannot happen with the reference
@@ -447,8 +461,92 @@ def _reachability_analysis_offline(mpa: Mpa, area_family: np.ndarray,
             )
             _, uniq = np.unique(key, axis=0, return_index=True)
             if uniq.size > max_frontier:
+                import warnings
+
+                warnings.warn(
+                    f"reachability frontier truncated at root trim {root} "
+                    f"step {t}: {uniq.size} > max_frontier={max_frontier} "
+                    "— reachable sets may under-approximate; increase "
+                    "max_frontier or use the DP path (Hp >= "
+                    f"{_DP_HORIZON_THRESHOLD})",
+                    stacklevel=2,
+                )
                 uniq = uniq[:max_frontier]
             trims, xs, ys, yaws = pj[uniq], nx[uniq], ny[uniq], nyaw[uniq]
+            if record_frontiers:
+                frontiers[t][root] = (trims, xs, ys, yaws)
+    return out, frontiers
+
+
+# Horizons above this use the divide-&-conquer composition; below it the
+# exact brute-force enumeration is affordable and preferred (exact).
+_DP_HORIZON_THRESHOLD = 7
+
+
+def _reachability_analysis_offline(mpa: Mpa, area_family: np.ndarray,
+                                   max_frontier: int = 2_000_000
+                                   ) -> np.ndarray:
+    """Local reachable sets per (root trim, step): conservative convex
+    K-vertex outer approximations of the union of all reachable swept areas.
+
+    Short horizons (Hp < 7): exact enumeration (vectorized re-design of
+    the reference's brute-force polyshape unions,
+    MotionPrimitiveAutomaton.m:252-385).
+
+    Long horizons: divide-&-conquer dynamic programming
+    (reachability_analysis_offline_DP, MotionPrimitiveAutomaton.m:394-647):
+    enumerate frontier poses exactly to Hp_half, then compose each
+    frontier pose with the rigidly-transformed half-horizon reachable set
+    of its trim — exponent halves from E^Hp to E^(Hp/2). Like the
+    reference, intermediate composed steps use the (less restrictive)
+    first-half transitions — a conservative over-approximation under
+    recursive feasibility — while the FINAL step composes the
+    equilibrium-constrained tail variant (built from the last Hp_half
+    transition matrices, the analogue of reachable_sets_local_HpHalf).
+    """
+    hp = mpa.Hp
+    if hp < _DP_HORIZON_THRESHOLD:
+        out, _ = _enumerate_reachability(
+            mpa, area_family, mpa.transition, max_frontier
+        )
+        return out
+
+    n = mpa.n_trims
+    hp_half = -(-hp // 2)
+    out = np.zeros((n, hp, K_REACHABLE, 2))
+
+    # first half: exact, with per-depth frontiers recorded
+    first, frontiers = _enumerate_reachability(
+        mpa, area_family, mpa.transition[:hp_half], max_frontier,
+        record_frontiers=True,
+    )
+    out[:, :hp_half] = first
+
+    # tail sets: unconstrained variant for intermediate composed steps
+    # (== the first-half transitions, reference DP :607-612) and the
+    # equilibrium-constrained variant for the final step (:633-645)
+    tail_free = first
+    tail_eq, _ = _enumerate_reachability(
+        mpa, area_family, mpa.transition[hp - hp_half:], max_frontier
+    )
+
+    for root in range(n):
+        for t in range(hp_half, hp):
+            d = t + 1 - hp_half                      # frontier depth (steps)
+            trims, xs, ys, yaws = frontiers[d - 1][root]
+            tail = tail_eq if t == hp - 1 else tail_free
+            hulls = tail[trims, hp_half - 1]         # [F, K, 2]
+            c, s = np.cos(yaws), np.sin(yaws)
+            hx = (
+                c[:, None] * hulls[:, :, 0]
+                - s[:, None] * hulls[:, :, 1] + xs[:, None]
+            )
+            hy = (
+                s[:, None] * hulls[:, :, 0]
+                + c[:, None] * hulls[:, :, 1] + ys[:, None]
+            )
+            verts = np.stack([hx, hy], axis=-1).reshape(-1, 2)
+            out[root, t] = _outer_poly_approx_np(verts, K_REACHABLE)
     return out
 
 
@@ -563,7 +661,7 @@ def build_mpa(options: Config) -> Mpa:
     )
 
     # -- offline reachability (with-offset area family) ------------------
-    family = area_nc if options.are_any_obstacles_non_convex else area_conv
+    family = area_nc if options.use_non_convex_obstacles else area_conv
     mpa.local_reachable_sets_conv = _reachability_analysis_offline(mpa, family)
 
     # HDV variant: reachability under the plain (non-recursive) adjacency
@@ -602,7 +700,7 @@ def mpa_cache_name(options: Config) -> str:
     ]
     if not options.recursive_feasibility:
         parts.append("norf")
-    if options.are_any_obstacles_non_convex:
+    if options.use_non_convex_obstacles:
         parts.append("nonconvex")
     return "_".join(parts) + ".npz"
 

@@ -66,6 +66,10 @@ SEG_GROUP = 32
 
 _HIGH = jax.lax.Precision.HIGHEST
 
+# keep in lockstep with ops.search.SEG_CROSS_TOL (imported lazily to avoid
+# a circular import at module load)
+_TOL = 1e-4
+
 
 def _pad_axis(arr, n, axis, mode="zero"):
     pad = n - arr.shape[axis]
@@ -372,8 +376,9 @@ def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
 
     Division-free segment intersection: with d = r x s, A = (b1 - a1) x s,
     B = (b1 - a1) x r, the segments cross iff |d| >= eps and A/d, B/d are
-    both in [0, 1] — equivalently A*d >= 0, |A| <= |d|, B*d >= 0,
-    |B| <= |d| (same predicate as the XLA path without the divides).
+    both in [-TOL, 1+TOL] — the SAME robust predicate as the XLA path
+    (ops.search._segment_cross_predicate); the tolerance keeps exact-touch
+    decisions identical across backends (see SEG_CROSS_TOL there).
     """
     i = pl.program_id(0)
     og = pl.program_id(1)
@@ -403,10 +408,12 @@ def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
                     b1y_ref[j, 0] - a1y
                 ) * ex                                   # qp x r
                 ad = jnp.abs(d)
+                t_lim = _TOL * d * d
+                m_lim = ad * (1.0 + _TOL)
                 crossed = (
                     (ad >= 1e-9)
-                    & (a_num * d >= 0.0) & (jnp.abs(a_num) <= ad)
-                    & (b_num * d >= 0.0) & (jnp.abs(b_num) <= ad)
+                    & (a_num * d >= -t_lim) & (jnp.abs(a_num) <= m_lim)
+                    & (b_num * d >= -t_lim) & (jnp.abs(b_num) <= m_lim)
                 )
                 hit = jnp.any(crossed, axis=0, keepdims=True)  # [1, T]
                 out_ref[...] = out_ref[...] | hit.astype(jnp.int32)

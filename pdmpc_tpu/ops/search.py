@@ -150,6 +150,63 @@ def candidate_collisions(man_polys, obs_polys, obs_mask):
     return hit
 
 
+def polys_to_edge_segments(polys, mask):
+    """Explode polygon outlines into their edge segments.
+
+    polys: [..., NO, VO, 2]; mask: [..., NO] ->
+    segments [..., NO*VO, 2, 2], segment mask [..., NO*VO].
+
+    Degenerate padded edges (repeated last vertex) are zero-length and
+    inert in every segment-intersection predicate (cross products with a
+    zero direction never satisfy the crossing test).
+    """
+    *lead, no, vo, _ = polys.shape
+    p2 = jnp.roll(polys, -1, axis=-2)
+    segs = jnp.stack([polys, p2], axis=-2).reshape(*lead, no * vo, 2, 2)
+    m = jnp.repeat(mask, vo, axis=-1)
+    return segs, m
+
+
+def candidate_outline_collisions(man_polys, obs_polys, obs_mask):
+    """Non-convex collision mask: candidate outline crosses obstacle outline.
+
+    The InterX-equivalent path (hlc/optimizer/OptimizerInterface.m:36-46):
+    in road scenarios maneuver/reachable areas are non-convex, SAT does not
+    apply, and polygons are declared colliding iff their OUTLINES intersect.
+    Like the reference (Config.m:71-87: "the error we make with InterX is
+    negligible"), full containment without an edge crossing is not detected
+    — practically impossible for similar-size vehicle shapes moving
+    continuously.
+
+    man_polys: [C, VA, 2]; obs_polys: [n_obs, VB, 2]; obs_mask: [n_obs].
+    Returns [C] bool. Obstacles scan in fixed chunks to bound peak memory
+    (same scheme as candidate_collisions).
+    """
+    c = man_polys.shape[0]
+    n_obs, vb = obs_polys.shape[0], obs_polys.shape[1]
+    n_chunks = -(-n_obs // OBS_CHUNK)
+    pad = n_chunks * OBS_CHUNK - n_obs
+    if pad:
+        obs_polys = jnp.concatenate(
+            [obs_polys, jnp.zeros((pad, vb, 2), obs_polys.dtype)], axis=0
+        )
+        obs_mask = jnp.concatenate(
+            [obs_mask, jnp.zeros((pad,), dtype=bool)], axis=0
+        )
+    obs_polys = obs_polys.reshape(n_chunks, OBS_CHUNK, vb, 2)
+    obs_mask = obs_mask.reshape(n_chunks, OBS_CHUNK)
+
+    def body(hit, chunk):
+        polys, mask = chunk
+        segs, m = polys_to_edge_segments(polys, mask)
+        return hit | candidate_boundary_violations(man_polys, segs, m), None
+
+    hit, _ = jax.lax.scan(
+        body, jnp.zeros((c,), dtype=bool), (obs_polys, obs_mask)
+    )
+    return hit
+
+
 def candidate_boundary_violations(man_polys, boundary_segments,
                                   boundary_mask):
     """True where a candidate polygon crosses any lanelet-boundary segment.
@@ -169,16 +226,41 @@ def candidate_boundary_violations(man_polys, boundary_segments,
     r = (a2 - a1)[:, :, None, :]                     # [C, VA, 1, 2]
     s = (b2 - b1)[None, None, :, :]                  # [1, 1, S, 2]
     qp = b1[None, None, :, :] - a1[:, :, None, :]    # [C, VA, S, 2]
-    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-    safe = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
-    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
-    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
-    hit = (
-        (jnp.abs(denom) >= 1e-9)
-        & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    d = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    a_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    b_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    hit = _segment_cross_predicate(d, a_num, b_num) \
         & boundary_mask[None, None, :]
-    )
     return jnp.any(hit, axis=(-1, -2))               # [C]
+
+
+# Parameter-space tolerance of the segment-crossing predicate: crossings
+# are accepted for t, u in [-TOL, 1+TOL]. Exact endpoint/edge touches are
+# THE common case on a shared trim lattice (vehicles reuse identical
+# maneuver geometry), and f32 fusion/FMA differences between the CPU and
+# TPU backends flip an exact-boundary comparison — one flipped collision
+# cascades into a diverged trajectory (observed on the cr3 golden, 21.8%
+# drift). The band is ~TOL x segment length (~30 um) wide — physically
+# negligible against the 1 cm safety offset, and conservative (a near
+# touch counts as a hit on every backend).
+SEG_CROSS_TOL = 1e-4
+
+
+def _segment_cross_predicate(d, a_num, b_num):
+    """Division-free robust crossing test given d = r x s, A = qp x s,
+    B = qp x r: crossing iff |d| >= eps and A/d, B/d within [-TOL, 1+TOL].
+
+    The identical formulation runs in the Pallas boundary kernel
+    (pallas_collision._boundary_kernel) — keep the two in lockstep.
+    """
+    ad = jnp.abs(d)
+    t_lim = SEG_CROSS_TOL * d * d
+    m_lim = ad * (1.0 + SEG_CROSS_TOL)
+    return (
+        (ad >= 1e-9)
+        & (a_num * d >= -t_lim) & (jnp.abs(a_num) <= m_lim)
+        & (b_num * d >= -t_lim) & (jnp.abs(b_num) <= m_lim)
+    )
 
 
 def _cost_to_go(pos, ref_points, v_ref, k_child, dt):
@@ -215,6 +297,7 @@ def plan_trajectory(
     use_pallas: bool = False,
     segments_pre=None,        # precomputed SegmentsPre (pallas path only)
     active=None,              # scalar bool: False -> kernels skip all work
+    non_convex: bool = False,
 ) -> PlanResult:
     """Plan one vehicle's Hp-step trajectory through the trim lattice.
 
@@ -223,6 +306,11 @@ def plan_trajectory(
     without-offset swept area is checked (the larger-offset area at the
     final step), matching eval_edge_exact's shapes_for_boundary_check
     (GraphSearch.m:166-174).
+
+    ``non_convex`` selects the InterX-equivalent obstacle check (outline
+    crossing via segment intersection) instead of SAT — the reference's
+    dispatch for road scenarios (OptimizerInterface.m:36-46); the caller
+    must pass MpaTensors built from the non-convex area family.
     """
     n = mpa.n_trims
     hp = mpa.Hp
@@ -238,8 +326,16 @@ def plan_trajectory(
 
         # candidate-independent obstacle geometry, once per planning pass
         # for all Hp layers (was: recomputed inside every layer)
-        obs_pre = pk.precompute_obstacles(obs_polys_by_step,
-                                          obs_mask_by_step)
+        if non_convex:
+            # outline semantics: obstacle edges become segments checked by
+            # the boundary kernel (one kernel serves both constraint kinds)
+            obs_segs, obs_seg_mask = polys_to_edge_segments(
+                obs_polys_by_step, obs_mask_by_step
+            )
+            obs_pre = pk.precompute_segments(obs_segs, obs_seg_mask)
+        else:
+            obs_pre = pk.precompute_obstacles(obs_polys_by_step,
+                                              obs_mask_by_step)
         if check_boundary and segments_pre is None:
             segments_pre = pk.precompute_segments(boundary_segments,
                                                   boundary_mask)
@@ -333,7 +429,14 @@ def plan_trajectory(
                    + pxb).reshape(va, n * b)
             cyk = (st * satg[:, :, 0] + ct * satg[:, :, 1]
                    + pyb).reshape(va, n * b)
-            collide = pk.sat_hits_pre(cxk, cyk, obs_pre_k).reshape(n, b).T
+            if non_convex:
+                collide = pk.boundary_hits_pre(
+                    cxk, cyk, obs_pre_k
+                ).reshape(n, b).T
+            else:
+                collide = pk.sat_hits_pre(
+                    cxk, cyk, obs_pre_k
+                ).reshape(n, b).T
         else:
             areas = mpa.area[trim]                            # [B, n, VA, 2]
             ax = (
@@ -346,9 +449,9 @@ def plan_trajectory(
             )
             man_world = jnp.stack([ax, ay], axis=-1)          # [B, n, VA, 2]
             man_flat = man_world.reshape(b * n, va, 2)
-            collide = candidate_collisions(
-                man_flat, obs_polys, obs_mask
-            ).reshape(b, n)
+            check = (candidate_outline_collisions if non_convex
+                     else candidate_collisions)
+            collide = check(man_flat, obs_polys, obs_mask).reshape(b, n)
 
         if check_boundary:
             # boundary areas: without offset; larger offset at final step
@@ -536,6 +639,7 @@ def plan_trajectory_sampled(
     boundary_segments: jax.Array | None = None,
     boundary_mask: jax.Array | None = None,
     temperature: float = 0.002,
+    non_convex: bool = False,
 ) -> PlanResult:
     """Sampled anytime search: batched random rollouts through the lattice.
 
@@ -613,9 +717,14 @@ def plan_trajectory_sampled(
         ay = s[:, None] * areas[..., 0] + c[:, None] * areas[..., 1] \
             + pose[:, 1:2]
         man_world = jnp.stack([ax, ay], axis=-1)
-        collide = candidate_collisions(
-            pad_polys_to_vo(man_world), obs_polys, obs_mask
-        )
+        if non_convex:
+            collide = candidate_outline_collisions(
+                man_world, obs_polys, obs_mask
+            )
+        else:
+            collide = candidate_collisions(
+                pad_polys_to_vo(man_world), obs_polys, obs_mask
+            )
         if check_boundary:
             bnd = jnp.where(
                 k == hp - 1,

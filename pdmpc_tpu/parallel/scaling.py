@@ -56,7 +56,7 @@ def measure_data_parallel(n_devices: int = 8, amount: int = 4,
                  T_end=t_end, beam_width=beam).validate()
     mpa = build_mpa(cfg)
     scenario = create_scenario(cfg, mpa)
-    mpa_t, sc_t = mpa.to_tensors(convex=True), scenario.to_tensors()
+    mpa_t, sc_t = mpa.to_tensors_for(cfg), scenario.to_tensors()
 
     times = {}
     for d in (1, n_devices):
@@ -109,7 +109,7 @@ def measure_vehicle_axis(n_devices: int = 8, amount: int = 8,
                  T_end=t_end, beam_width=beam).validate()
     mpa = build_mpa(cfg)
     scenario = create_scenario(cfg, mpa)
-    mpa_t, sc_t = mpa.to_tensors(convex=True), scenario.to_tensors()
+    mpa_t, sc_t = mpa.to_tensors_for(cfg), scenario.to_tensors()
 
     times = {}
     for d in (1, n_devices):
