@@ -63,16 +63,23 @@ def write_values_txt(result, path: str | None = None,
 
 
 def eval_phd(cpm_lab_result=None, run_sweeps: bool = False,
-             out_path: str | None = None) -> dict:
+             out_path: str | None = None,
+             sweep_base=None, sweep_kw: dict | None = None,
+             sweep_bounds=None) -> dict:
     """Full dissertation evaluation.
 
     Reference: eval_phd.m:9-31 (eval_prioritization + eval_bounding for
-    commonroad and circle under the sampled optimizer) followed by the
-    CPM-lab values.txt block. Sweeps are opt-in here (they are long); the
-    values block needs a result from the headline scenario.
+    commonroad and circle — the circle arms at Hp=10 — under the sampled
+    optimizer) followed by the CPM-lab values.txt block. Sweeps are opt-in
+    here (they are long); ``sweep_base`` / ``sweep_kw`` (forwarded to
+    eval_experiments: n_vehicles_list, seeds, use_cache, save) /
+    ``sweep_bounds`` scale them down for CI. The values block needs a
+    result from the headline scenario.
     """
     out: dict = {}
     if run_sweeps:
+        import dataclasses
+
         from pdmpc_tpu.config import (
             Config, OptimizerType, ScenarioType,
         )
@@ -80,15 +87,18 @@ def eval_phd(cpm_lab_result=None, run_sweeps: bool = False,
             eval_bounding, eval_prioritization,
         )
 
-        base = Config(optimizer_type=OptimizerType.TpuSampled)
-        out["prioritization_commonroad"] = eval_prioritization(base)
-        out["prioritization_circle"] = eval_prioritization(
-            Config(optimizer_type=OptimizerType.TpuSampled,
-                   scenario_type=ScenarioType.circle, Hp=10))
-        out["bounding_commonroad"] = eval_bounding(base)
-        out["bounding_circle"] = eval_bounding(
-            Config(optimizer_type=OptimizerType.TpuSampled,
-                   scenario_type=ScenarioType.circle, Hp=10))
+        base = sweep_base or Config(optimizer_type=OptimizerType.TpuSampled)
+        circle = dataclasses.replace(
+            base, scenario_type=ScenarioType.circle, Hp=10, path_ids=()
+        )
+        kw = dict(sweep_kw or {})
+        bkw = dict(kw)
+        if sweep_bounds is not None:
+            bkw["bounds"] = sweep_bounds
+        out["prioritization_commonroad"] = eval_prioritization(base, **kw)
+        out["prioritization_circle"] = eval_prioritization(circle, **kw)
+        out["bounding_commonroad"] = eval_bounding(base, **bkw)
+        out["bounding_circle"] = eval_bounding(circle, **bkw)
 
     if cpm_lab_result is not None:
         out["values"] = compute_values(cpm_lab_result)

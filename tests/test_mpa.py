@@ -184,3 +184,71 @@ class TestMpaBuild:
         assert t.n_trims == 12
         assert t.Hp == 6
         assert t.area.shape == (12, 12, mpa_mod.VM_CONVEX, 2)
+
+
+class TestDpReachability:
+    """Divide-&-conquer offline reachability for long horizons.
+
+    Reference: reachability_analysis_offline_DP
+    (MotionPrimitiveAutomaton.m:394-647) — frontier enumeration to Hp/2,
+    then rigid-transform composition of half-horizon sets.
+    """
+
+    @pytest.fixture(scope="class")
+    def mpa_hp7(self):
+        cfg = Config(scenario_type=ScenarioType.circle, Hp=7)
+        return mpa_mod.build_mpa(cfg)
+
+    def test_dp_contains_exact(self, mpa_hp7):
+        """DP sets must CONTAIN the exact enumeration (conservative), and
+        be tight at the mid-horizon composition boundary."""
+        m = mpa_hp7
+        exact, _ = mpa_mod._enumerate_reachability(
+            m, m.area_conv, m.transition
+        )
+        dp = m.local_reachable_sets_conv
+        theta = 2 * np.pi * np.arange(64) / 64
+        dirs = np.stack([np.cos(theta), np.sin(theta)], -1)
+        h_dp = np.einsum("ntkd,md->ntkm", dp, dirs).max(axis=2)
+        h_ex = np.einsum("ntkd,md->ntkm", exact, dirs).max(axis=2)
+        # containment: support function of DP >= exact everywhere
+        assert (h_ex - h_dp).max() < 1e-9
+        # tightness: over-approximation bounded (metres)
+        assert (h_dp - h_ex).max() < 0.2
+
+    def test_first_half_is_exact(self, mpa_hp7):
+        m = mpa_hp7
+        exact, _ = mpa_mod._enumerate_reachability(
+            m, m.area_conv, m.transition
+        )
+        hp_half = -(-m.Hp // 2)
+        np.testing.assert_allclose(
+            m.local_reachable_sets_conv[:, :hp_half],
+            exact[:, :hp_half], atol=1e-9,
+        )
+
+    def test_hp10_builds_fast_without_truncation(self, tmp_path):
+        import time
+        import warnings
+
+        cfg = Config(scenario_type=ScenarioType.circle, Hp=10)
+        cache = mpa_mod._LIBRARY_DIR
+        name = mpa_mod.mpa_cache_name(cfg)
+        path = f"{cache}/{name}"
+        import os
+        if os.path.isfile(path):
+            os.remove(path)  # force a rebuild to time it
+        t0 = time.time()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any truncation warning fails
+            m = mpa_mod.build_mpa(cfg)
+        assert time.time() - t0 < 60.0
+        assert m.local_reachable_sets_conv.shape[1] == 10
+        # sets must be monotonically growing over the horizon (unions of
+        # longer-reach maneuvers): area via the shoelace formula
+        v = m.local_reachable_sets_conv
+        x, y = v[..., 0], v[..., 1]
+        area = 0.5 * np.abs(
+            np.sum(x * np.roll(y, -1, -1) - np.roll(x, -1, -1) * y, axis=-1)
+        )
+        assert (np.diff(area, axis=1) > -1e-9).all()

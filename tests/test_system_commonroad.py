@@ -26,6 +26,12 @@ GOLDEN_CONFIGS = {
         scenario_type=ScenarioType.commonroad, amount=20, T_end=2.0,
         beam_width=64,
     ),
+    # long-horizon operating point: Hp=10 MPA built by the DP reachability
+    # composition (eval_phd's circle arms use Hp=10, eval/phd.py)
+    "circle_03veh_hp10": Config(
+        scenario_type=ScenarioType.circle, amount=3, T_end=2.0, Hp=10,
+        beam_width=128,
+    ),
 }
 
 
