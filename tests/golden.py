@@ -6,6 +6,15 @@ goldens are regenerated with replace_expected_results.m
 (docs/continuous-integration.md:30-39). Here goldens are npz files under
 tests/expected_results/, regenerated with
 ``python -m tests.replace_expected_results``.
+
+Backend policy: goldens are PER BACKEND. f32 XLA:CPU and XLA:TPU diverge
+bit-wise through discrete decisions (trig/FMA ulps flip exact-touch SAT
+margins on the shared trim lattice), while each backend is perfectly
+deterministic — so CI compares CPU runs against CPU goldens, and bench.py
+compares the TPU run against the ``*_tpu`` golden exactly plus the CPU
+golden behaviorally (fallback pattern, total cost within 1%). Regenerate
+the TPU golden with ``python -m tests.replace_expected_results --tpu``
+(requires the TPU).
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ def save_golden(name: str, result) -> str:
         trims=np.asarray(result.infos.trims),
         needs_fallback=np.asarray(result.infos.needs_fallback),
         levels=np.asarray(result.infos.levels),
+        cost=np.asarray(result.infos.cost),
     )
     return path
 

@@ -14,20 +14,35 @@ from __future__ import annotations
 
 
 def main() -> None:
+    import sys
+
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+    tpu_mode = "--tpu" in sys.argv
+    if tpu_mode:
+        # regenerate the TPU-backend golden used by bench._golden_crosscheck
+        # (run where the TPU is attached); per-backend goldens are required
+        # because f32 CPU/TPU trajectories are not bit-stable (tests/golden.py)
+        assert jax.default_backend() not in ("cpu",), (
+            "--tpu requested but only the CPU backend is available"
+        )
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
 
     from pdmpc_tpu.experiment import run_experiment
     from tests.golden import save_golden
     from tests.test_system_commonroad import GOLDEN_CONFIGS
 
-    for name, cfg in GOLDEN_CONFIGS.items():
+    names = ["commonroad_03veh"] if tpu_mode else list(GOLDEN_CONFIGS)
+    for name in names:
         print(f"running {name} ...")
-        result = run_experiment(cfg)
-        path = save_golden(name, result)
+        result = run_experiment(GOLDEN_CONFIGS[name])
+        path = save_golden(name + ("_tpu" if tpu_mode else ""), result)
         print(f"  -> {path}")
+    if not tpu_mode:
+        print("NOTE: also run `python -m tests.replace_expected_results "
+              "--tpu` on the TPU machine to refresh the TPU golden.")
 
 
 if __name__ == "__main__":
