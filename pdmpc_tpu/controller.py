@@ -928,7 +928,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         # trim with the closest straight speed to the reference speed
         ref_speed_l = scenario.reference_speed[gidx]
         speed_dist = jnp.where(
-            (mpa.trim_steering == 0.0)[None, :],
+            (jnp.abs(mpa.trim_steering) < 1e-9)[None, :],
             jnp.abs(mpa.trim_speed[None, :] - ref_speed_l[:, None]),
             jnp.inf,
         )

@@ -268,8 +268,13 @@ class Mpa:
         return float(np.max(self.trim_speed))
 
     def get_straight_speeds(self) -> np.ndarray:
-        """Reference: MotionPrimitiveAutomaton.m:187-191."""
-        mask = (self.trim_speed > 0) & (self.trim_steering == 0)
+        """Reference: MotionPrimitiveAutomaton.m:187-191.
+
+        Tolerance instead of an exact zero test: the realistic family's
+        steering grid comes from ``np.arange(-max, max, d)`` whose center
+        value carries fp noise (~1e-16), which an exact ``== 0`` misses.
+        """
+        mask = (self.trim_speed > 0) & (np.abs(self.trim_steering) < 1e-9)
         return self.trim_speed[mask]
 
     def maximum_branching_factor(self) -> int:
@@ -283,7 +288,7 @@ class Mpa:
         """
         ts, tst = self.trim_speed, self.trim_steering
         if steering == 0:
-            idx = np.nonzero(tst == 0)[0]
+            idx = np.nonzero(np.abs(tst) < 1e-9)[0]
             return int(idx[np.argmin(np.abs(ts[idx] - speed))])
         s_c, s_s = ts.min(), ts.max() - ts.min()
         st_c, st_s = tst.min(), tst.max() - tst.min()

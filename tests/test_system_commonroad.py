@@ -9,7 +9,7 @@ on-road, deadlock-free, and deterministic.
 import numpy as np
 import pytest
 
-from pdmpc_tpu.config import Config, ScenarioType
+from pdmpc_tpu.config import Config, MpaType, ScenarioType
 from pdmpc_tpu.experiment import create_scenario, run_experiment
 from pdmpc_tpu.models.mpa import build_mpa
 from tests.golden import compare_golden, vehicle_centers_offroad
@@ -31,6 +31,16 @@ GOLDEN_CONFIGS = {
     "circle_03veh_hp10": Config(
         scenario_type=ScenarioType.circle, amount=3, T_end=2.0, Hp=10,
         beam_width=128,
+    ),
+    # the other two MPA families end-to-end (systemtests.m:3-14 spans
+    # mpa_type; choose_trims.m:37,85) — see tests/test_mpa_families.py
+    "commonroad_03veh_triple": Config(
+        scenario_type=ScenarioType.commonroad, amount=3, T_end=2.0,
+        beam_width=128, mpa_type=MpaType.triple_speed,
+    ),
+    "circle_03veh_realistic": Config(
+        scenario_type=ScenarioType.circle, amount=3, T_end=2.0,
+        beam_width=128, mpa_type=MpaType.realistic,
     ),
 }
 
