@@ -32,12 +32,19 @@ def main() -> None:
 
     from pdmpc_tpu.experiment import run_experiment
     from tests.golden import save_golden
+    from tests.test_matrix import MATRIX_CONFIGS
     from tests.test_system_commonroad import GOLDEN_CONFIGS
 
-    names = ["commonroad_03veh"] if tpu_mode else list(GOLDEN_CONFIGS)
+    all_configs = {**GOLDEN_CONFIGS, **MATRIX_CONFIGS}
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "matrix" in only:
+        only.remove("matrix")
+        only.extend(MATRIX_CONFIGS)
+    names = (["commonroad_03veh"] if tpu_mode else
+             (only or list(all_configs)))
     for name in names:
         print(f"running {name} ...")
-        result = run_experiment(GOLDEN_CONFIGS[name])
+        result = run_experiment(all_configs[name])
         path = save_golden(name + ("_tpu" if tpu_mode else ""), result)
         print(f"  -> {path}")
     if not tpu_mode:
