@@ -10,11 +10,15 @@ per-lanelet extended boundaries (side-adjacent / merging / forking bound
 sharing, RoadDataCommonRoad.m:259-378). Results are disk-cached like the
 reference (RoadData.m:43-82).
 
-Not reproduced from the reference (documented deviations):
-- the boundary-polyshape-overlap refinement of `adjacency_lanelets`
-  (get_adjacent_lanelets, :759) — the relationship-based adjacency is kept;
-- `update_lanelet_relationships` post-pass (:722).
-Both only tighten heuristics used by the distance coupler and HDV logic.
+Both reference post-passes are applied (round 3):
+- `get_adjacent_lanelets` (:759): pairs whose extended-boundary polygons
+  overlap by more than 1e-3 m^2 become adjacent; intersection-lanelet
+  pairs found this way get a `crossing` relationship at the overlap
+  centroid. Polygon-overlap area is computed by rasterization (5 mm grid)
+  instead of MATLAB polyshape booleans — at the 1e-3 m^2 threshold the
+  quantization error (2.5e-5 m^2 per cell) is negligible.
+- `update_lanelet_relationships` (:722): lanelets sharing a boundary with
+  a related pair inherit that pair's relationship (outside intersections).
 """
 
 from __future__ import annotations
@@ -356,12 +360,113 @@ def _extended_boundaries(lanelets: list[Lanelet], rel: np.ndarray,
     return boundary_left, boundary_right, share
 
 
+def _boundary_ring(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Closed polygon ring of a lanelet's extended drivable corridor —
+    the polyshape the reference builds as lanelet_boundary{i}{3}."""
+    return np.concatenate([left, right[::-1]], axis=0)
+
+
+def _overlap_area_and_centroid(ring_a: np.ndarray, ring_b: np.ndarray,
+                               cell: float = 0.005
+                               ) -> tuple[float, np.ndarray | None]:
+    """Approximate intersection area of two (possibly non-convex) polygon
+    rings by rasterizing the bbox overlap at ``cell`` resolution.
+
+    Stands in for MATLAB's `intersect(polyshape, polyshape)` + `area` +
+    `centroid` (RoadDataCommonRoad.get_adjacent_lanelets, :759-790); exact
+    clipping is unnecessary at the reference's 1e-3 m^2 threshold.
+    """
+    from matplotlib.path import Path
+
+    lo = np.maximum(ring_a.min(axis=0), ring_b.min(axis=0))
+    hi = np.minimum(ring_a.max(axis=0), ring_b.max(axis=0))
+    if (hi <= lo).any():
+        return 0.0, None
+    xs = np.arange(lo[0] + cell / 2, hi[0], cell)
+    ys = np.arange(lo[1] + cell / 2, hi[1], cell)
+    if xs.size == 0 or ys.size == 0:
+        return 0.0, None
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    inside = (Path(ring_a).contains_points(pts)
+              & Path(ring_b).contains_points(pts))
+    n_in = int(inside.sum())
+    if n_in == 0:
+        return 0.0, None
+    return n_in * cell * cell, pts[inside].mean(axis=0)
+
+
+def _refine_adjacency_by_boundary_overlap(
+        lanelets: list[Lanelet], rel: np.ndarray, pt: np.ndarray,
+        adjacency: np.ndarray, intersection: np.ndarray,
+        b_left: list[np.ndarray], b_right: list[np.ndarray]) -> None:
+    """Reference: RoadDataCommonRoad.get_adjacent_lanelets (:759-790).
+
+    Non-adjacent pairs whose extended boundary corridors overlap by more
+    than 1e-3 m^2 become adjacent; if both are intersection lanelets the
+    pair is additionally classified `crossing` with the overlap centroid
+    as the critical point. Mutates rel/pt/adjacency in place.
+    """
+    n = len(lanelets)
+    in_int = set(int(x) for x in intersection)
+    rings = [_boundary_ring(b_left[i], b_right[i]) for i in range(n)]
+    bboxes = np.array([[r[:, 0].min(), r[:, 0].max(),
+                        r[:, 1].min(), r[:, 1].max()] for r in rings])
+    for i in range(1, n):
+        for j in range(i + 1, n + 1):
+            if adjacency[i, j]:
+                continue
+            bi, bj = bboxes[i - 1], bboxes[j - 1]
+            if (bi[0] > bj[1] or bj[0] > bi[1]
+                    or bi[2] > bj[3] or bj[2] > bi[3]):
+                continue
+            area, centroid = _overlap_area_and_centroid(
+                rings[i - 1], rings[j - 1]
+            )
+            if area > 1e-3:
+                adjacency[i, j] = adjacency[j, i] = True
+                if i in in_int and j in in_int:
+                    rel[i, j] = RelationshipType.crossing
+                    pt[i, j] = centroid
+
+
+def _update_lanelet_relationships(
+        lanelets: list[Lanelet], rel: np.ndarray, pt: np.ndarray,
+        adjacency: np.ndarray, intersection: np.ndarray,
+        share: list[list[int]]) -> None:
+    """Reference: RoadDataCommonRoad.update_lanelet_relationships (:722).
+
+    Lanelets that share a boundary with a related pair inherit the pair's
+    relationship (and adjacency), except when both candidates are
+    intersection lanelets. Mutates rel/pt/adjacency in place.
+    """
+    n = len(lanelets)
+    in_int = set(int(x) for x in intersection)
+    # live iteration like the reference loop: relationships added by
+    # earlier pairs are visible to (and propagated by) later pairs
+    for i in range(1, n):
+        for j in range(i + 1, n + 1):
+            if rel[i, j] == RelationshipType.none:
+                continue
+            share_i = [s for s in share[i - 1] if s != i]
+            share_j = [s for s in share[j - 1] if s != j]
+            for si in share_i:
+                for sj in share_j:
+                    lo, hi = min(si, sj), max(si, sj)
+                    if (si == sj or rel[lo, hi] != RelationshipType.none
+                            or (si in in_int and sj in in_int)):
+                        continue
+                    rel[lo, hi] = rel[i, j]
+                    pt[lo, hi] = pt[i, j]
+                    adjacency[lo, hi] = adjacency[hi, lo] = True
+
+
 def get_road_data(xml_path: str = DEFAULT_MAP,
                   use_cache: bool = True) -> RoadData:
     """Load (cached) road data. Reference: RoadData.get_road_data (:43-82)."""
     cache = os.path.join(
         _CACHE_DIR,
-        os.path.splitext(os.path.basename(xml_path))[0] + ".npz",
+        os.path.splitext(os.path.basename(xml_path))[0] + "_v2.npz",
     )
     if use_cache and os.path.isfile(cache) and (
             os.path.getmtime(cache) >= os.path.getmtime(xml_path)):
@@ -370,6 +475,14 @@ def get_road_data(xml_path: str = DEFAULT_MAP,
     lanelets, intersection = parse_commonroad_xml(xml_path)
     rel, pt, adjacency = _classify_relationships(lanelets, intersection)
     b_left, b_right, share = _extended_boundaries(lanelets, rel)
+    # reference post-passes, same order as compute_road_data
+    # (RoadDataCommonRoad.m:37-41)
+    _refine_adjacency_by_boundary_overlap(
+        lanelets, rel, pt, adjacency, intersection, b_left, b_right
+    )
+    _update_lanelet_relationships(
+        lanelets, rel, pt, adjacency, intersection, share
+    )
     road = RoadData(
         lanelets=lanelets,
         intersection_lanelets=intersection,
