@@ -180,13 +180,18 @@ def precompute_obstacles(obs_polys: jax.Array,
 
 
 class SegmentsPre(NamedTuple):
-    """Boundary segment bundle; fields [..., S_pad, 1] / [..., S_pad, 4]."""
+    """Boundary segment bundle.
 
-    sx: jax.Array
-    sy: jax.Array
-    b1x: jax.Array
-    b1y: jax.Array
-    cb: jax.Array            # b1 x s
+    ``packed`` [..., 8, S_pad] holds the five per-segment scalars on the
+    SUBLANE dimension (rows: sx, sy, b1x, b1y, cb = b1 x s; rows 5-7 pad
+    to one VPU register row). One packed array instead of five
+    [..., S_pad, 1]-shaped fields: a trailing lane dim of 1 forces
+    (8, 128)-tile staging with 128x padding — profiled as serialized
+    multi-ms `slice-start` copies feeding the kernel (21% of cr20 device
+    step time in the round-2 trace).
+    """
+
+    packed: jax.Array        # [..., 8, S_pad]
     bbox: jax.Array          # [..., S_pad, 4]
     mask: jax.Array          # [..., S_pad] int32
 
@@ -203,6 +208,12 @@ def precompute_segments(segments: jax.Array,
     b2 = segs[..., 1, :]
     sdir = b2 - b1
     cb = b1[..., 0] * sdir[..., 1] - b1[..., 1] * sdir[..., 0]
+    zero = jnp.zeros_like(cb)
+    packed = jnp.stack(
+        [sdir[..., 0], sdir[..., 1], b1[..., 0], b1[..., 1], cb,
+         zero, zero, zero],
+        axis=-2,
+    )                                                    # [..., 8, S_pad]
     bbox = jnp.stack(
         [
             jnp.minimum(b1[..., 0], b2[..., 0]),
@@ -212,11 +223,7 @@ def precompute_segments(segments: jax.Array,
         ],
         axis=-1,
     )
-    return SegmentsPre(
-        sx=sdir[..., 0, None], sy=sdir[..., 1, None],
-        b1x=b1[..., 0, None], b1y=b1[..., 1, None], cb=cb[..., None],
-        bbox=bbox, mask=mask,
-    )
+    return SegmentsPre(packed=packed, bbox=bbox, mask=mask)
 
 
 # ---------------------------------------------------------------------------
@@ -364,15 +371,16 @@ def candidate_collisions_pallas(man_polys: jax.Array, obs_polys: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
-                     cx_ref, cy_ref, fine_ref, gskip_ref, out_ref,
+def _boundary_kernel(pk_ref, cx_ref, cy_ref, fine_ref, gskip_ref, out_ref,
                      ex_s, ey_s):
     """Grid step: candidate tile (program 0) vs one segment group.
 
-    sx/sy: [G, 1] segment directions; b1x/b1y: [G, 1] segment start points;
-    cb: [G, 1] = b1 x s (precomputed); cx/cy: [VA_PAD, T] candidate verts;
-    fine: [n_tiles, S_pad] SMEM (full); gskip: [n_tiles, n_groups] SMEM
-    (full); out: [1, T] int32.
+    pk: [8, S_pad] packed per-segment scalars in SMEM (rows: sx, sy,
+    b1x, b1y, cb = b1 x s) — they are consumed as broadcast scalars, and
+    SMEM natively supports the dynamic per-segment indexing (a VMEM
+    block would need a 128-aligned lane index Mosaic cannot prove);
+    cx/cy: [VA_PAD, T] candidate verts; fine: [n_tiles, S_pad] SMEM
+    (full); gskip: [n_tiles, n_groups] SMEM (full); out: [1, T] int32.
 
     Division-free segment intersection: with d = r x s, A = (b1 - a1) x s,
     B = (b1 - a1) x r, the segments cross iff |d| >= eps and A/d, B/d are
@@ -382,6 +390,7 @@ def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
     """
     i = pl.program_id(0)
     og = pl.program_id(1)
+    g = pk_ref.shape[1] // gskip_ref.shape[1]
 
     @pl.when(og == 0)
     def _():
@@ -397,15 +406,17 @@ def _boundary_kernel(sx_ref, sy_ref, b1x_ref, b1y_ref, cb_ref,
         a1y = cy_ref[:]
         ex = ex_s[:]
         ey = ey_s[:]
-        for j in range(sx_ref.shape[0]):
-            @pl.when(fine_ref[i, og * sx_ref.shape[0] + j] > 0)
+        for j in range(g):
+            @pl.when(fine_ref[i, og * g + j] > 0)
             def _(j=j):
-                sx = sx_ref[j, 0]
-                sy = sy_ref[j, 0]
+                sx = pk_ref[0, og * g + j]
+                sy = pk_ref[1, og * g + j]
                 d = ex * sy - ey * sx                    # r x s   [VA, T]
-                a_num = cb_ref[j, 0] - (a1x * sy - a1y * sx)   # qp x s
-                b_num = (b1x_ref[j, 0] - a1x) * ey - (
-                    b1y_ref[j, 0] - a1y
+                a_num = pk_ref[4, og * g + j] - (
+                    a1x * sy - a1y * sx
+                )                                        # qp x s
+                b_num = (pk_ref[2, og * g + j] - a1x) * ey - (
+                    pk_ref[3, og * g + j] - a1y
                 ) * ex                                   # qp x r
                 ad = jnp.abs(d)
                 t_lim = _TOL * d * d
@@ -430,7 +441,7 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
     c = cx.shape[1]
     cx, cy, n_tiles = _pad_candidates(cx, cy, SEG_TILE)
     va_pad, c_pad = cx.shape
-    s_pad = pre.sx.shape[0]
+    s_pad = pre.packed.shape[-1]
     n_groups = s_pad // SEG_GROUP
 
     tiles = _tile_bboxes(cx, cy, n_tiles, SEG_TILE)
@@ -441,14 +452,13 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
         ~jnp.any(fine.reshape(n_tiles, n_groups, SEG_GROUP) > 0, axis=-1)
     ).astype(jnp.int32)
 
-    seg_spec = pl.BlockSpec((SEG_GROUP, 1), lambda i, o: (o, 0),
-                            memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     cand_spec = pl.BlockSpec((va_pad, SEG_TILE), lambda i, o: (0, i),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _boundary_kernel,
         grid=(n_tiles, n_groups),
-        in_specs=[seg_spec] * 5 + [
+        in_specs=[seg_spec] + [
             cand_spec, cand_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
@@ -461,7 +471,168 @@ def boundary_hits_pre(cx: jax.Array, cy: jax.Array, pre: SegmentsPre,
             pltpu.VMEM((va_pad, SEG_TILE), jnp.float32),  # ey
         ],
         interpret=interpret,
-    )(pre.sx, pre.sy, pre.b1x, pre.b1y, pre.cb, cx, cy, fine, gskip)
+    )(pre.packed, cx, cy, fine, gskip)
+    return out[0, :c].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Polygon-outline crossing kernel (the InterX-equivalent non-convex check)
+# ---------------------------------------------------------------------------
+
+# Obstacles per outline grid step: each obstacle unrolls VO edges, so the
+# group is smaller than OBS_GROUP to keep the kernel body compact.
+OUTLINE_GROUP = 8
+
+
+class OutlinePre(NamedTuple):
+    """Outline obstacle bundle for `outline_hits_pre`.
+
+    ox/oy: [..., NO_pad, VO] vertex coords; edge_ok: [..., NO_pad, VO]
+    int32, 1 where the edge (v -> v+1 cyclic) is non-degenerate AND the
+    obstacle is active — padded repeated-vertex edges are skipped instead
+    of computed (they are inert in the crossing predicate either way, but
+    polygons padded to VO=16 carry ~10 degenerate edges each).
+    """
+
+    ox: jax.Array
+    oy: jax.Array
+    edge_ok: jax.Array
+    bbox: jax.Array          # [..., NO_pad, 4]
+    mask: jax.Array          # [..., NO_pad] int32
+
+
+def precompute_outline(obs_polys: jax.Array,
+                       obs_mask: jax.Array) -> OutlinePre:
+    """obs_polys [..., NO, VO, 2], obs_mask [..., NO] -> OutlinePre."""
+    n_obs = obs_polys.shape[-3]
+    no_pad = -(-n_obs // OUTLINE_GROUP) * OUTLINE_GROUP
+    obs = _pad_axis(obs_polys, no_pad, axis=obs_polys.ndim - 3)
+    mask = _pad_axis(obs_mask.astype(jnp.int32), no_pad,
+                     axis=obs_mask.ndim - 1)
+    nxt = jnp.roll(obs, -1, axis=-2)
+    edge_ok = (
+        (jnp.abs(nxt - obs).sum(axis=-1) > 0.0)
+        & (mask > 0)[..., None]
+    ).astype(jnp.int32)
+    bbox = jnp.stack(
+        [
+            jnp.min(obs[..., 0], axis=-1),
+            jnp.max(obs[..., 0], axis=-1),
+            jnp.min(obs[..., 1], axis=-1),
+            jnp.max(obs[..., 1], axis=-1),
+        ],
+        axis=-1,
+    )
+    return OutlinePre(ox=obs[..., 0], oy=obs[..., 1], edge_ok=edge_ok,
+                      bbox=bbox, mask=mask)
+
+
+def _outline_kernel(ox_ref, oy_ref, cx_ref, cy_ref, eok_ref, fine_ref,
+                    gskip_ref, out_ref, ex_s, ey_s):
+    """Grid step: candidate tile (program 0) vs one obstacle group.
+
+    ox/oy: [G, VO] obstacle vertices; cx/cy: [VA_PAD, T] candidate verts;
+    eok: [NO_pad, VO] SMEM per-edge validity (full); fine: [n_tiles,
+    NO_pad] SMEM; gskip: [n_tiles, n_groups] SMEM; out: [1, T] int32.
+
+    A candidate collides iff any of its edges crosses any obstacle edge —
+    InterX semantics on the natural polygon rings, with NO segment
+    explosion: staging stays [G, VO]-shaped like the SAT kernel, and
+    bbox/fine skipping is per OBSTACLE (sparse far-field work), not per
+    exploded segment. The crossing predicate is the identical robust
+    division-free form used by the XLA path and the boundary kernel
+    (ops.search._segment_cross_predicate; see SEG_CROSS_TOL there).
+    """
+    i = pl.program_id(0)
+    og = pl.program_id(1)
+    vo = ox_ref.shape[1]
+
+    @pl.when(og == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cx = cx_ref[:]
+        cy = cy_ref[:]
+        ex_s[...] = pltpu.roll(cx, cx.shape[0] - 1, axis=0) - cx
+        ey_s[...] = pltpu.roll(cy, cy.shape[0] - 1, axis=0) - cy
+
+    @pl.when(gskip_ref[i, og] == 0)
+    def _():
+        a1x = cx_ref[:]                                  # [VA_PAD, T]
+        a1y = cy_ref[:]
+        ex = ex_s[:]
+        ey = ey_s[:]
+        for j in range(ox_ref.shape[0]):
+            @pl.when(fine_ref[i, og * ox_ref.shape[0] + j] > 0)
+            def _(j=j):
+                hit = jnp.zeros_like(out_ref)
+                for e in range(vo):
+                    b1x = ox_ref[j, e]
+                    b1y = oy_ref[j, e]
+                    sx = ox_ref[j, (e + 1) % vo] - b1x
+                    sy = oy_ref[j, (e + 1) % vo] - b1y
+                    d = ex * sy - ey * sx                # r x s   [VA, T]
+                    a_num = (b1x * sy - b1y * sx) - (a1x * sy - a1y * sx)
+                    b_num = (b1x - a1x) * ey - (b1y - a1y) * ex
+                    ad = jnp.abs(d)
+                    t_lim = _TOL * d * d
+                    m_lim = ad * (1.0 + _TOL)
+                    crossed = (
+                        (ad >= 1e-9)
+                        & (a_num * d >= -t_lim) & (jnp.abs(a_num) <= m_lim)
+                        & (b_num * d >= -t_lim) & (jnp.abs(b_num) <= m_lim)
+                    ) & (eok_ref[og * ox_ref.shape[0] + j, e] > 0)
+                    hit = hit | jnp.any(
+                        crossed, axis=0, keepdims=True
+                    ).astype(jnp.int32)                  # [1, T]
+                out_ref[...] = out_ref[...] | hit
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def outline_hits_pre(cx: jax.Array, cy: jax.Array, pre: OutlinePre,
+                     interpret: bool = False) -> jax.Array:
+    """Outline-crossing mask for kernel-native candidates.
+
+    cx/cy: [VA, C] candidate vertex coords; pre: bundle from
+    `precompute_outline` (unbatched — vmap for batching). Returns [C]
+    bool: candidate outline crosses an active obstacle outline.
+    """
+    c = cx.shape[1]
+    cx, cy, n_tiles = _pad_candidates(cx, cy, SEG_TILE)
+    va_pad, c_pad = cx.shape
+    no_pad = pre.ox.shape[0]
+    vo = pre.ox.shape[1]
+    n_groups = no_pad // OUTLINE_GROUP
+
+    tiles = _tile_bboxes(cx, cy, n_tiles, SEG_TILE)
+    fine = (_bbox_overlap(tiles, pre.bbox) & (pre.mask > 0)[None, :]).astype(
+        jnp.int32
+    )
+    gskip = (
+        ~jnp.any(fine.reshape(n_tiles, n_groups, OUTLINE_GROUP) > 0, axis=-1)
+    ).astype(jnp.int32)
+
+    obs_spec = pl.BlockSpec((OUTLINE_GROUP, vo), lambda i, o: (o, 0),
+                            memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((va_pad, SEG_TILE), lambda i, o: (0, i),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _outline_kernel,
+        grid=(n_tiles, n_groups),
+        in_specs=[obs_spec, obs_spec] + [
+            cand_spec, cand_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # edge_ok (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # fine (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # gskip (full)
+        ],
+        out_specs=pl.BlockSpec((1, SEG_TILE), lambda i, o: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, c_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((va_pad, SEG_TILE), jnp.float32),  # ex
+            pltpu.VMEM((va_pad, SEG_TILE), jnp.float32),  # ey
+        ],
+        interpret=interpret,
+    )(pre.ox, pre.oy, cx, cy, pre.edge_ok, fine, gskip)
     return out[0, :c].astype(bool)
 
 

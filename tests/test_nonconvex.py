@@ -105,10 +105,10 @@ class TestPallasOutlineParity:
         )
 
     @pytest.mark.parametrize("c,n_obs", [(64, 4), (300, 9)])
-    def test_boundary_kernel_matches_xla_outline(self, c, n_obs):
+    def test_outline_kernel_matches_xla_outline(self, c, n_obs):
         from pdmpc_tpu.ops.pallas_collision import (
-            boundary_hits_pre,
-            precompute_segments,
+            outline_hits_pre,
+            precompute_outline,
         )
 
         rng = np.random.default_rng(c * 31 + n_obs)
@@ -117,13 +117,31 @@ class TestPallasOutlineParity:
                           dtype=jnp.float32)
         mask = jnp.asarray(rng.random(n_obs) < 0.7)
         ref = np.asarray(candidate_outline_collisions(man, obs, mask))
-        segs, m = polys_to_edge_segments(obs, mask)
-        pre = precompute_segments(segs, m)
+        pre = precompute_outline(obs, mask)
         cand = jnp.moveaxis(man, 0, -1)
         got = np.asarray(
-            boundary_hits_pre(cand[:, 0], cand[:, 1], pre, interpret=True)
+            outline_hits_pre(cand[:, 0], cand[:, 1], pre, interpret=True)
         )
         assert (ref == got).all()
+
+    def test_outline_kernel_skips_degenerate_padded_edges(self):
+        # polys padded by repeating the last vertex: the padded edges must
+        # neither hit nor be computed (edge_ok masks them out)
+        from pdmpc_tpu.ops.pallas_collision import (
+            outline_hits_pre,
+            precompute_outline,
+        )
+
+        obs = jnp.asarray(pad16(SQ + 0.5)[None], dtype=jnp.float32)
+        mask = jnp.ones((1,), dtype=bool)
+        pre = precompute_outline(obs, mask)
+        assert int(np.asarray(pre.edge_ok).sum()) == 4  # only real edges
+        man = jnp.asarray(np.stack([SQ, SQ + 10.0]), dtype=jnp.float32)
+        cand = jnp.moveaxis(man, 0, -1)
+        got = np.asarray(
+            outline_hits_pre(cand[:, 0], cand[:, 1], pre, interpret=True)
+        )
+        assert got.tolist() == [True, False]
 
 
 class TestDispatch:
