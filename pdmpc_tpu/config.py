@@ -26,6 +26,9 @@ class ScenarioType(str, enum.Enum):
 
     commonroad = "commonroad"
     circle = "circle"
+    # TPU extension (BASELINE config 4; not in the reference): CPM road
+    # network plus off-map free-space circle clusters in one fleet
+    mixed = "mixed"
 
 
 class Environment(str, enum.Enum):
@@ -235,6 +238,12 @@ class Config:
     # coupling constraints), too hot approaches uniform; 0.01 measured
     # best on the 3-vehicle circle (cost within 6% of exhaustive search).
     mcts_temperature: float = 0.01
+    # Compact-level planning batch (single-program path): each level-loop
+    # iteration plans up to this many same-level vehicles as one batch,
+    # so every vehicle is planned exactly once per step instead of the
+    # dense all-vehicles-every-level sweep. None = ceil(amount / 2).
+    # Purely a scheduling knob — results are identical at any value.
+    level_chunk: int | None = None
     # Pallas TPU kernel for the SAT collision mask (None = auto: on for TPU
     # backends, off for CPU). The kernel avoids materializing the
     # [candidates x obstacles x axes x vertices] projection tensor in HBM
@@ -332,7 +341,7 @@ class Config:
             )
         cfg.max_num_CLs = min(cfg.max_num_CLs, cfg.amount)
 
-        if cfg.scenario_type != ScenarioType.circle:
+        if cfg.scenario_type == ScenarioType.commonroad:
             if not cfg.path_ids:
                 defaults = {
                     1: (18,),

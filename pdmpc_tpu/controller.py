@@ -597,18 +597,9 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 reachable_sets, corridor_rings, bnd_segs, bnd_mask
             )
 
-        # ---- traffic exchange (the Traffic-topic all_gather + barrier) ---
-        pose_g = comm.gather_veh(state.pose)
-        trim_g = comm.gather_veh(state.trim)
-        rs_g = comm.gather_veh(reachable_sets)
-        ref_points_g = comm.gather_veh(ref_points)
-        occupied_offset_g = comm.gather_veh(occupied_offset)
-        prev_shapes_g = comm.gather_veh(state.prev_shapes)
-        prev_valid_g = comm.gather_veh(state.prev_valid)
-
-        # ---- HDV handling (HighLevelController.m:394-447) -----------------
-        # human-driven vehicles do not plan; CAVs avoid their (non-recursive)
-        # reachable sets, and HDVs are excluded from the coupling graph
+        # ---- HDV reachability (computed locally before the exchange) ----
+        # human-driven vehicles do not plan; CAVs avoid their
+        # (non-recursive) reachable sets (HighLevelController.m:394-447)
         is_hdv_g = scenario.is_hdv
         is_hdv_l = comm.local_slice(is_hdv_g)
         hdv_rs = jax.vmap(
@@ -623,12 +614,25 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             hdv_rs = jax.vmap(bound_vehicle)(
                 hdv_rs, corridor_rings, bnd_segs, bnd_mask
             )
-        hdv_rs_g = pad_polys_to_vo(comm.gather_veh(hdv_rs))
+
+        # ---- traffic exchange (the Traffic-topic message + barrier) ------
+        # every per-vehicle field rides ONE fused all_gather, like the
+        # reference's single Traffic message (InterHlcCommunication.m:140)
+        (pose_g, trim_g, rs_g, ref_points_g, occupied_offset_g,
+         prev_shapes_g, prev_valid_g, hdv_rs_g, pred_lanelets_g) = \
+            comm.gather_tree((
+                state.pose, state.trim, reachable_sets, ref_points,
+                occupied_offset, state.prev_shapes, state.prev_valid,
+                hdv_rs,
+                (pred_lanelets if pred_lanelets is not None
+                 else jnp.zeros((nl, 0), dtype=jnp.int32)),
+            ))
+        hdv_rs_g = pad_polys_to_vo(hdv_rs_g)
 
         # ---- coupling graph (replicated: same inputs on every shard) -----
         adjacency = _couple(
             cfg, rs_g, pose_g, max_mpa_speed,
-            pred_lanelets=(comm.gather_veh(pred_lanelets)
+            pred_lanelets=(pred_lanelets_g
                            if pred_lanelets is not None else None),
             adjacency_lanelets=(scenario.road.adjacency_lanelets
                                 if scenario.road is not None else None),
@@ -751,8 +755,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             planned_shapes0 = jnp.zeros((n, hp, VO, 2))
             max_level = jnp.max(levels)
 
-            def level_body(carry):
-                level, planned, planned_shapes = carry
+            def build_obs_polys(planned_shapes):
                 family_polys = [planned_shapes, parallel_polys]
                 if successor_mode == ConstraintFromSuccessor.area_of_standstill:
                     family_polys.append(standstill)
@@ -768,10 +771,11 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                             (n_static, hp, VO, 2),
                         )
                     )
-                obs_polys = jnp.concatenate(
+                return jnp.concatenate(
                     family_polys, axis=0
                 )                                        # [F*N(+O), Hp, VO, 2]
 
+            def make_plan_v(obs_polys):
                 def plan_v(i, pose, trim, ref_p, vr, mask, bs, bm, sp,
                            al):
                     obstacles = Obstacles(
@@ -801,6 +805,100 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                         temperature=cfg.mcts_temperature,
                         non_convex=non_convex,
                     )
+                return plan_v
+
+            if isinstance(comm, LocalComm):
+                # ---- compact level execution (single-program path) ------
+                # Each vehicle is planned exactly ONCE: every while
+                # iteration gathers up to C same-level vehicles (priority
+                # order) into a compact batch, plans them, and scatters
+                # the results back. Leveling is pure scheduling — the
+                # obstacle sets are driven by the DAG masks, not by level
+                # numbers — so results are identical to the dense sweep
+                # that planned all N vehicles at every level (N*L plans
+                # instead of ~N), and the reported `levels` are untouched.
+                c_chunk = min(n, cfg.level_chunk or -(-n // 2))
+                order = jnp.argsort(
+                    levels * jnp.int32(n + 1)
+                    + jnp.arange(n, dtype=jnp.int32)
+                )                                        # (level, index)
+                lev_sorted = levels[order]
+                pos = jnp.arange(n, dtype=jnp.int32)
+                is_start = jnp.concatenate([
+                    jnp.ones((1,), dtype=bool),
+                    lev_sorted[1:] != lev_sorted[:-1],
+                ])
+                level_start = jax.lax.cummax(
+                    jnp.where(is_start, pos, 0), axis=0
+                )
+                r = pos - level_start
+                new_chunk = is_start | (r % c_chunk == 0)
+                chunk_id = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
+                n_chunks = chunk_id[-1] + 1
+                slot = r % c_chunk
+                schedule = jnp.full((n, c_chunk), -1, dtype=jnp.int32
+                                    ).at[chunk_id, slot].set(order)
+
+                def chunk_body(carry):
+                    ci, planned, planned_shapes = carry
+                    idx = schedule[ci]                   # [C]
+                    valid = idx >= 0
+                    safe = jnp.maximum(idx, 0)
+                    plan_v = make_plan_v(build_obs_polys(planned_shapes))
+                    args = (safe, state.pose[safe], state.trim[safe],
+                            ref_points[safe], v_ref[safe],
+                            obs_mask_l[safe])
+                    if bnd_segs is not None:
+                        result = jax.vmap(plan_v)(
+                            *args, bnd_segs[safe], bnd_mask[safe],
+                            jax.tree.map(lambda x: x[safe], seg_pre),
+                            valid,
+                        )
+                    else:
+                        result = jax.vmap(
+                            lambda i, pose, trim, ref_p, vr, mask, al:
+                            plan_v(i, pose, trim, ref_p, vr, mask, None,
+                                   None, None, al)
+                        )(*args, valid)
+
+                    # duplicate-safe scatter: padded slots alias vehicle 0,
+                    # so membership and slot lookup go through add-scatters
+                    # (adds of 0 for invalid slots are deterministic)
+                    planned_now = (
+                        jnp.zeros((n,), jnp.int32)
+                        .at[safe].add(valid.astype(jnp.int32)) > 0
+                    )
+                    slot_of = jnp.zeros((n,), jnp.int32).at[safe].add(
+                        jnp.where(valid,
+                                  jnp.arange(c_chunk, dtype=jnp.int32), 0)
+                    )
+
+                    def sel(new, old):
+                        picked = new[slot_of]
+                        m = planned_now.reshape(
+                            (n,) + (1,) * (picked.ndim - 1)
+                        )
+                        return jnp.where(m, picked, old)
+
+                    planned = jax.tree.map(sel, result, planned)
+                    planned_shapes = jnp.where(
+                        planned_now[:, None, None, None],
+                        pad_polys_to_vo(result.shapes)[slot_of],
+                        planned_shapes,
+                    )
+                    return (ci + 1, planned, planned_shapes)
+
+                _, planned, planned_shapes_g = jax.lax.while_loop(
+                    lambda c: c[0] < n_chunks,
+                    chunk_body,
+                    (jnp.array(0, dtype=jnp.int32), planned0,
+                     planned_shapes0),
+                )
+                return planned, planned_shapes_g, sequential, levels
+
+            def level_body(carry):
+                level, planned, planned_shapes = carry
+                plan_v = make_plan_v(build_obs_polys(planned_shapes))
 
                 at_level = levels_l == level
                 if bnd_segs is not None:

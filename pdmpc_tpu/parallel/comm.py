@@ -37,6 +37,9 @@ class LocalComm:
     def gather_veh(self, x: jax.Array) -> jax.Array:
         return x
 
+    def gather_tree(self, tree):
+        return tree
+
     def local_slice(self, x: jax.Array) -> jax.Array:
         return x
 
@@ -70,6 +73,36 @@ class MeshComm:
         return jax.lax.all_gather(
             x, self.axis_name, axis=0, tiled=True
         )
+
+    def gather_tree(self, tree):
+        """ONE fused all_gather for a whole pytree of [n_local, ...]
+        arrays.
+
+        The reference's Traffic topic is one message carrying every
+        per-vehicle field (InterHlcCommunication.m:140-236); issuing one
+        collective instead of one per field keeps the exchange
+        latency-bound by a single ICI round. Leaves are flattened to
+        [n_local, K_i], cast to f32 (ints/bools in this codebase are
+        trim/lanelet indices and flags, exact in f32), concatenated,
+        gathered once, and unpacked — values are bit-identical to
+        per-field gathers.
+        """
+        leaves, treedef = jax.tree.flatten(tree)
+        parts, specs = [], []
+        for x in leaves:
+            flat = x.reshape(x.shape[0], -1)
+            specs.append((x.shape, x.dtype, flat.shape[1]))
+            parts.append(flat.astype(jnp.float32))
+        packed = jnp.concatenate(parts, axis=1)
+        g = self.gather_veh(packed)                  # [N, sum K_i]
+        out, off = [], 0
+        for shape, dtype, w in specs:
+            seg = g[:, off:off + w]
+            off += w
+            out.append(
+                seg.astype(dtype).reshape(self.n_vehicles, *shape[1:])
+            )
+        return jax.tree.unflatten(treedef, out)
 
     def local_slice(self, x: jax.Array) -> jax.Array:
         shard = jax.lax.axis_index(self.axis_name)
