@@ -32,6 +32,10 @@ def create_scenario(options: Config, mpa: Mpa) -> Scenario:
 
     if options.scenario_type == ScenarioType.circle:
         scenario = create_circle_scenario(options, mpa)
+    elif options.scenario_type == ScenarioType.mixed:
+        from pdmpc_tpu.scenarios.mixed import create_mixed_scenario
+
+        scenario = create_mixed_scenario(options, mpa)
     else:
         from pdmpc_tpu.scenarios.commonroad import create_commonroad_scenario
 
