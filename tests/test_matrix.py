@@ -56,6 +56,13 @@ _CELLS = {
              Co.full_coupling, P.random_priority, W.constant_weight),
     "mx12": (S.circle, M.realistic, O.TpuSampled,
              Co.distance_coupling, P.constant_priority, W.distance_weight),
+    # the mixed road/free-space scenario (TPU extension, BASELINE config 4)
+    # at CI scale: 1 road vehicle + 2 free-space circle-crossing vehicles
+    "mx13": (S.mixed, M.single_speed, O.TpuOptimal,
+             Co.reachable_set_coupling, P.random_priority,
+             W.distance_weight),
+    "mx14": (S.mixed, M.triple_speed, O.TpuSampled,
+             Co.full_coupling, P.coloring_priority, W.constant_weight),
 }
 
 MATRIX_CONFIGS = {
