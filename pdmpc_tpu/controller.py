@@ -450,7 +450,12 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
     onehot = (
         belonging[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
     ).astype(cost_g.dtype)                              # [N, N-labels]
-    totals = jnp.round(cost_g.T @ onehot, 8)            # [P, N-labels]
+    # f32 accumulation: the TPU bf16 matmul default would round the vote
+    # sums to ~3 decimal digits and can flip the per-subgraph argmin winner
+    totals = jnp.round(
+        jnp.matmul(cost_g.T, onehot,
+                   precision=jax.lax.Precision.HIGHEST), 8
+    )                                                   # [P, N-labels]
     totals = jnp.where(valid_p[:, None], totals, jnp.inf)
     chosen_per_label = jnp.argmin(totals, axis=0)       # [N-labels]
     chosen_g = chosen_per_label[belonging]              # [N]

@@ -88,8 +88,13 @@ def _sat_half(a, b):
     axes = jnp.stack([-edges[:, 1], edges[:, 0]], axis=-1)
     norm = jnp.linalg.norm(axes, axis=-1, keepdims=True)
     axes = axes / jnp.maximum(norm, _EPS)            # zero axes stay zero
-    pa = axes @ a.T                                  # [VA, VA]
-    pb = axes @ b.T                                  # [VA, VB]
+    # f32 MXU accumulation: the TPU default feeds bf16 into the MXU, and
+    # ~cm-scale projection error flips separation decisions (same class as
+    # the search-side SAT einsum, ops/search.py:86-93)
+    pa = jnp.matmul(axes, a.T,
+                    precision=jax.lax.Precision.HIGHEST)  # [VA, VA]
+    pb = jnp.matmul(axes, b.T,
+                    precision=jax.lax.Precision.HIGHEST)  # [VA, VB]
     d1 = jnp.min(pa, axis=1) - jnp.max(pb, axis=1)
     d2 = jnp.min(pb, axis=1) - jnp.max(pa, axis=1)
     return jnp.any(d1 > 0) | jnp.any(d2 > 0)
@@ -298,7 +303,12 @@ def outer_poly_approx(points, mask, k_dirs: int):
     """
     theta = 2.0 * jnp.pi * jnp.arange(k_dirs) / k_dirs
     dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)  # [K, 2]
-    proj = points @ dirs.T                                        # [M, K]
+    # f32 MXU accumulation: bf16-default supports shift the fitted
+    # halfplanes by up to ~3 cm at map scale, mangling clipped corridors
+    # (observed on the TPU backend: couplings missed entirely at 64
+    # vehicles -> colliding trajectories)
+    proj = jnp.matmul(points, dirs.T,
+                      precision=jax.lax.Precision.HIGHEST)        # [M, K]
     proj = jnp.where(mask[:, None], proj, -jnp.inf)
     h = jnp.max(proj, axis=0)                                     # [K]
     # Vertex k = intersection of halfplane boundaries k and k+1:

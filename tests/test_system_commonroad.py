@@ -42,6 +42,13 @@ GOLDEN_CONFIGS = {
         scenario_type=ScenarioType.circle, amount=3, T_end=2.0,
         beam_width=128, mpa_type=MpaType.realistic,
     ),
+    # the mixed road/free-space fleet (BASELINE.json config 4) at CPU-CI
+    # scale: 10 road vehicles + 6 free-space circle-crossers; the full
+    # 64-vehicle configuration runs on the TPU in bench.py
+    "mixed_16veh": Config(
+        scenario_type=ScenarioType.mixed, amount=16, T_end=1.0,
+        beam_width=64,
+    ),
 }
 
 
