@@ -308,6 +308,18 @@ def main():
         monte_carlo = {"error": type(e).__name__}
     scaling = _mesh_scaling()
     golden_check = _golden_crosscheck()
+    # speed-of-light: per-kernel achieved vs roofline on THIS device
+    # (BASELINE.json "measure rollout+solve kernels at speed-of-light per
+    # chip"); set PDMPC_BENCH_SOL=0 to skip
+    if os.environ.get("PDMPC_BENCH_SOL", "1") != "0":
+        try:
+            from tools.speed_of_light import measure as _sol_measure
+
+            sol = _sol_measure(device_step_seconds=dev_med_ms / 1e3)
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            sol = {"error": type(e).__name__, "detail": str(e)[:200]}
+    else:
+        sol = {"skipped": True}
 
     # Headline candidates carry their own metadata so the published number
     # and its configuration always agree; lax.map-chunked entries (not
@@ -349,6 +361,7 @@ def main():
             "batch_scaling_curve": curve,
             "monte_carlo_4096_rollouts": monte_carlo,
             "mesh_scaling_8dev_cpu": scaling,
+            "sol_utilization": sol,
             "tpu_vs_golden": golden_check,
             "device": str(jax.devices()[0]),
         },

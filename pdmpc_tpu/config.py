@@ -159,11 +159,17 @@ _ENUM_FIELDS = {
 }
 
 # Fields ignored by equality, like the reference's irrelevant_properties
-# (Config.m:278-283).
+# (Config.m:278-283). Perf-only execution knobs (level_chunk,
+# use_pallas_collision) do not change trajectories — results are
+# bit-identical across their settings (tests/test_controller.py,
+# tests/test_pallas_collision.py) — so result memoization via
+# utils/filenames.load_latest must not miss on them.
 _EQUALITY_IRRELEVANT = {
     "time_per_tick",
     "is_use_dynamic_programming",
     "should_do_dry_run",
+    "level_chunk",
+    "use_pallas_collision",
 }
 
 

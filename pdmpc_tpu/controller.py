@@ -41,7 +41,10 @@ from pdmpc_tpu.ops import geometry as geo
 from pdmpc_tpu.ops import search
 from pdmpc_tpu.ops.search import VO, Obstacles, pad_polys_to_vo
 from pdmpc_tpu.parallel import graph as graph_ops
-from pdmpc_tpu.scenarios.scenario import ScenarioTensors
+from pdmpc_tpu.scenarios.scenario import (
+    ScenarioTensors,
+    map_position_to_closest_lanelets,
+)
 
 # Reference: PrioritizedController.consider_successors (:536)
 STANDSTILL_SPEED = 0.01
@@ -544,22 +547,34 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         # predicted lanelets -> boundary segments (road scenarios;
         # get_predicted_lanelets.m + get_lanelets_boundary.m capability)
         if scenario.road is not None:
-            def boundary_for(i, seg_i, proj_i):
+            def boundary_for(i, seg_i, proj_i, pose, hdv):
                 lane_of = scenario.segment_lanelet[i]
-                ids = jnp.concatenate(
-                    [lane_of[proj_i][None], lane_of[seg_i]]
-                )
+                cur = lane_of[proj_i]
+                if cfg.manual_control_config.is_active:
+                    # HDV poses are measured, not planned — they may stray
+                    # off the reference path (external plant), so their
+                    # current lanelet comes from the closest-centerline
+                    # mapping, like the reference
+                    # (HighLevelController.m:402,
+                    # map_position_to_closest_lanelets.m). Static gate:
+                    # HDV-free configs keep an unchanged program.
+                    closest, _ = map_position_to_closest_lanelets(
+                        scenario.road, pose[:2]
+                    )
+                    cur = jnp.where(hdv, closest, cur)
+                ids = jnp.concatenate([cur[None], lane_of[seg_i]])
                 uids = jnp.unique(ids, size=N_PREDICTED_LANELETS,
                                   fill_value=0)
                 segs = scenario.road.boundary_segments[uids]
                 mask = scenario.road.boundary_seg_mask[uids]
                 rings = scenario.road.corridor_rings[uids]
                 return (segs.reshape(-1, 2, 2), mask.reshape(-1), rings,
-                        lane_of[proj_i], uids)
+                        cur, uids)
 
             (bnd_segs, bnd_mask, corridor_rings,
              current_lanelet, pred_lanelets) = jax.vmap(boundary_for)(
-                gidx, seg_idx, proj_seg
+                gidx, seg_idx, proj_seg, state.pose,
+                comm.local_slice(scenario.is_hdv),
             )
             if use_pallas:
                 from pdmpc_tpu.ops import pallas_collision as pk
@@ -903,34 +918,50 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
 
             def level_body(carry):
                 level, planned, planned_shapes = carry
-                plan_v = make_plan_v(build_obs_polys(planned_shapes))
-
                 at_level = levels_l == level
-                if bnd_segs is not None:
-                    result = jax.vmap(plan_v)(
-                        gidx, state.pose, state.trim, ref_points, v_ref,
-                        obs_mask_l, bnd_segs, bnd_mask, seg_pre, at_level,
-                    )
-                else:
-                    result = jax.vmap(
-                        lambda i, pose, trim, ref_p, vr, mask, al: plan_v(
-                            i, pose, trim, ref_p, vr, mask, None, None,
-                            None, al
+
+                def do_plan(planned):
+                    plan_v = make_plan_v(build_obs_polys(planned_shapes))
+                    if bnd_segs is not None:
+                        result = jax.vmap(plan_v)(
+                            gidx, state.pose, state.trim, ref_points,
+                            v_ref, obs_mask_l, bnd_segs, bnd_mask, seg_pre,
+                            at_level,
                         )
-                    )(gidx, state.pose, state.trim, ref_points, v_ref,
-                      obs_mask_l, at_level)
+                    else:
+                        result = jax.vmap(
+                            lambda i, pose, trim, ref_p, vr, mask, al:
+                            plan_v(i, pose, trim, ref_p, vr, mask, None,
+                                   None, None, al)
+                        )(gidx, state.pose, state.trim, ref_points, v_ref,
+                          obs_mask_l, at_level)
 
-                def sel(new, old):
-                    m = at_level.reshape((nl,) + (1,) * (new.ndim - 1))
-                    return jnp.where(m, new, old)
+                    def sel(new, old):
+                        m = at_level.reshape((nl,) + (1,) * (new.ndim - 1))
+                        return jnp.where(m, new, old)
 
-                planned = jax.tree.map(sel, result, planned)
-                # publish predictions: update local rows, then exchange
-                # (the per-level Predictions all_gather over ICI)
-                local_shapes = jnp.where(
-                    at_level[:, None, None, None],
-                    pad_polys_to_vo(result.shapes),
-                    comm.local_slice(planned_shapes),
+                    planned = jax.tree.map(sel, result, planned)
+                    local_shapes = jnp.where(
+                        at_level[:, None, None, None],
+                        pad_polys_to_vo(result.shapes),
+                        comm.local_slice(planned_shapes),
+                    )
+                    return planned, local_shapes
+
+                def skip(planned):
+                    return planned, comm.local_slice(planned_shapes)
+
+                # a shard with no vehicle at this level skips the whole
+                # planning pass (scalar cond: real branch, not a select) —
+                # the SPMD analogue of a reference NUC idling while other
+                # computation levels plan. On shared-core virtual meshes
+                # this converts idle masking work into freed cores;
+                # results are bit-identical (the masked pass never
+                # contributed rows). The collective stays OUTSIDE the
+                # cond: every shard joins the per-level Predictions
+                # all_gather (PrioritizedController.plan's blocking reads).
+                planned, local_shapes = jax.lax.cond(
+                    jnp.any(at_level), do_plan, skip, planned
                 )
                 planned_shapes = comm.gather_veh(local_shapes)
                 return (level + 1, planned, planned_shapes)

@@ -63,63 +63,83 @@ def run_with_plant(options: Config, plant: Plant | None = None,
 
     plant.synchronize_start_with_plant()
 
+    def build_result() -> ExperimentResult:
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *infos)
+        return ExperimentResult(
+            options=options,
+            infos=stacked,
+            final_state=jax.tree.map(np.asarray, state),
+            timings={
+                k2: v.tolist() if isinstance(v, np.ndarray) else v
+                for k2, v in timing.get_all_timings().items()
+            },
+            git_hash=_git_hash(),
+        )
+
     infos = []
     k = 0
     timing.start("control_loop")
-    while not plant.should_stop() and k < options.k_end:
-        with timing.span("measure", k):
-            m = plant.measure()
-            trims = np.array(
-                [
-                    mpa.trim_from_values(m.speed[v], m.steering[v])
-                    for v in range(scenario.n_vehicles)
-                ],
-                dtype=np.int32,
-            )
-            state = state._replace(
-                pose=jnp.asarray(m.poses, dtype=jnp.float32),
-                trim=jnp.asarray(trims),
-            )
-
-        with timing.span("plan", k):
-            state, info = step(
-                state, jnp.asarray(k, dtype=jnp.int32), mpa_t, sc_t
-            )
-            jax.block_until_ready(state)
-
-        info_np = jax.tree.map(np.asarray, info)
-        infos.append(info_np)
-
-        with timing.span("apply", k):
-            applied_trims = info_np.trims[:, 0]
-            try:
-                plant.apply(
-                    info_np.poses, info_np.trims, k,
-                    trim_speeds=mpa.trim_speed[applied_trims],
-                    trim_steerings=mpa.trim_steering[applied_trims],
+    try:
+        while not plant.should_stop() and k < options.k_end:
+            with timing.span("measure", k):
+                m = plant.measure()
+                trims = np.array(
+                    [
+                        mpa.trim_from_values(m.speed[v], m.steering[v])
+                        for v in range(scenario.n_vehicles)
+                    ],
+                    dtype=np.int32,
                 )
-            except TypeError:
-                plant.apply(info_np.poses, info_np.trims, k)
+                state = state._replace(
+                    pose=jnp.asarray(m.poses, dtype=jnp.float32),
+                    trim=jnp.asarray(trims),
+                )
 
-        if on_step is not None:
-            # truthy return requests abort (visualization.PlotterOnline's
-            # ESC hotkey — the reference Plotter.m abort path)
-            if on_step(k, info_np):
-                k += 1
-                break
-        k += 1
+            with timing.span("plan", k):
+                state, info = step(
+                    state, jnp.asarray(k, dtype=jnp.int32), mpa_t, sc_t
+                )
+                jax.block_until_ready(state)
+
+            info_np = jax.tree.map(np.asarray, info)
+            infos.append(info_np)
+
+            with timing.span("apply", k):
+                applied_trims = info_np.trims[:, 0]
+                try:
+                    plant.apply(
+                        info_np.poses, info_np.trims, k,
+                        trim_speeds=mpa.trim_speed[applied_trims],
+                        trim_steerings=mpa.trim_steering[applied_trims],
+                    )
+                except TypeError:
+                    plant.apply(info_np.poses, info_np.trims, k)
+
+            if on_step is not None:
+                # truthy return requests abort (visualization.PlotterOnline's
+                # ESC hotkey — the reference Plotter.m abort path)
+                if on_step(k, info_np):
+                    k += 1
+                    break
+            k += 1
+    except BaseException:
+        # Save-on-error: persist whatever completed before the crash so a
+        # failure at step 90/100 loses nothing — the reference's onCleanup
+        # path (hlc/controller/HighLevelController.m:508-555).
+        timing.stop("control_loop")
+        if infos:
+            from pdmpc_tpu.utils.filenames import results_directory
+
+            try:
+                base = build_result().save(results_directory(options))
+                print(f"run aborted at step {k}; partial result saved to "
+                      f"{base}.npz")
+            except Exception as save_err:  # noqa: BLE001 — don't mask
+                print(f"run aborted at step {k}; partial save failed: "
+                      f"{save_err!r}")
+        plant.end_run()
+        raise
 
     timing.stop("control_loop")
     plant.end_run()
-
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *infos)
-    return ExperimentResult(
-        options=options,
-        infos=stacked,
-        final_state=jax.tree.map(np.asarray, state),
-        timings={
-            k2: v.tolist() if isinstance(v, np.ndarray) else v
-            for k2, v in timing.get_all_timings().items()
-        },
-        git_hash=_git_hash(),
-    )
+    return build_result()

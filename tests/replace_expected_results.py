@@ -26,6 +26,21 @@ def main() -> None:
         assert jax.default_backend() not in ("cpu",), (
             "--tpu requested but only the CPU backend is available"
         )
+        # share bench.py's persistent compile cache: the golden config's
+        # run program is exactly what bench._golden_crosscheck compiles, so
+        # regeneration after a warm bench run is seconds, not many minutes
+        # of remote-TPU compilation
+        import os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
     else:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)

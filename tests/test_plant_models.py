@@ -133,3 +133,37 @@ class TestNormalizeTimings:
     def test_single_controller_passthrough(self):
         t = {"controller_start_time": 5.0}
         assert normalize_timing_results(t) is t
+
+
+class TestSaveOnError:
+    """A crash mid-run persists the partial result — the reference's
+    onCleanup save path (hlc/controller/HighLevelController.m:508-555)."""
+
+    def test_partial_result_saved_and_loadable(self, tmp_path, monkeypatch):
+        from pdmpc_tpu import hlc
+        from pdmpc_tpu.experiment import ExperimentResult
+        from pdmpc_tpu.utils import filenames
+
+        monkeypatch.setattr(filenames, "RESULTS_ROOT", str(tmp_path))
+        cfg = Config(
+            scenario_type=ScenarioType.circle,
+            amount=2,
+            T_end=2.0,
+            beam_width=32,
+        )
+
+        crash_at = 4
+
+        def on_step(k, info):
+            if k == crash_at:
+                raise RuntimeError("injected mid-run failure")
+
+        with pytest.raises(RuntimeError, match="injected"):
+            hlc.run_with_plant(cfg, on_step=on_step)
+
+        saved = filenames.load_latest(cfg.validate())
+        assert saved is not None, "no partial result was persisted"
+        # steps 0..crash_at completed before the crash
+        assert saved.n_steps == crash_at + 1
+        assert isinstance(saved, ExperimentResult)
+        assert np.isfinite(np.asarray(saved.infos.poses)).all()

@@ -145,3 +145,51 @@ class TestCommonroadScenario:
         # vehicles stay on the lab table
         assert poses[..., 0].min() > -0.1 and poses[..., 0].max() < 4.6
         assert poses[..., 1].min() > -0.1 and poses[..., 1].max() < 4.1
+
+
+class TestMapPositionToClosestLanelets:
+    """map_position_to_closest_lanelets.m:1-25 capability (HDV current
+    lanelet from a measured, possibly off-path pose)."""
+
+    def test_center_vertex_maps_to_own_lanelet(self, road):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.scenarios.scenario import (
+            map_position_to_closest_lanelets,
+            road_to_tensors,
+        )
+
+        rt = road_to_tensors(road)
+        for lid in (1, 17, 50, 104):
+            xy = jnp.asarray(road.lanelet(lid).center[2], dtype=jnp.float32)
+            best, within = map_position_to_closest_lanelets(rt, xy)
+            # the lanelet owning the vertex is always within the offset set
+            assert bool(within[lid]), lid
+            assert bool(within[int(best)])
+            assert int(best) >= 1  # dummy row never wins
+
+    def test_off_path_pose_maps_to_nearest(self, road):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.scenarios.scenario import (
+            map_position_to_closest_lanelets,
+            road_to_tensors,
+        )
+
+        rt = road_to_tensors(road)
+        # displace a centerline vertex slightly sideways: still nearest
+        base = road.lanelet(7).center[3]
+        xy = jnp.asarray(base + np.array([0.02, -0.02]), dtype=jnp.float32)
+        best, within = map_position_to_closest_lanelets(rt, xy)
+        assert bool(within[7])
+        # brute-force oracle over all lanelets
+        dmins = np.array([
+            np.linalg.norm(road.lanelet(i).center - np.asarray(xy),
+                           axis=-1).min()
+            for i in range(1, road.n_lanelets + 1)
+        ])
+        assert int(best) == int(np.argmin(dmins)) + 1
+        # reference offset semantics: all lanelets within min + 0.1
+        expect = set((np.where(dmins <= dmins.min() + 0.1)[0] + 1).tolist())
+        got = set(np.where(np.asarray(within))[0].tolist())
+        assert got == expect

@@ -18,8 +18,8 @@ quoted against the bf16 MXU peak (it runs f32 HIGHEST, i.e. multi-pass —
 the quoted fraction is the conservative denominator).
 
 Usage: ``python -m tools.speed_of_light`` (on the TPU) prints one JSON
-object; bench.py embeds the same measurement as the ``sol_utilization``
-extra.
+object; bench.py embeds this measurement as the ``extra.sol_utilization``
+key (disable with PDMPC_BENCH_SOL=0).
 """
 
 from __future__ import annotations
@@ -266,7 +266,9 @@ def measure(device_step_seconds: float | None = None,
     t = _chain_time(mxu_step, trims)
     m, k = pack.shape
     flops = chunk * 2 * m * k * beam
-    bytes_ = chunk * (m * k * 4 + k * beam * 4 + m * beam * 4)
+    # pack is closed over once and reused across all vmapped vehicles —
+    # count its bytes once, not per chunk entry
+    bytes_ = m * k * 4 + chunk * (k * beam * 4 + m * beam * 4)
     out["mxu_onehot_expansion"] = {
         "time_ms": round(t * 1e3, 4),
         "flops": flops,
@@ -284,25 +286,42 @@ def measure(device_step_seconds: float | None = None,
     # summed over the growing-beam layers
     n = sh["n_vehicles"]
     total_cand = sum(sh["layer_candidates"])
-    step_flops = n * total_cand * (
+    # predicate (VPU) and matmul (MXU) work cannot share a denominator:
+    # the predicate kernels can never use the MXU, so their floor is the
+    # HBM roofline of their staged bytes; only the one-hot expansion is
+    # MXU-denominated. The combined floor is the sum of the two floors
+    # (they are data-dependent within a layer, not overlappable).
+    pred_flops = n * total_cand * (
         n_obs * vo * va_pad * OPS_PER_SEGMENT_TEST
         + s_act * va_pad * OPS_PER_SEGMENT_TEST
-    ) + n * cfg.Hp * 2 * m * k * beam
-    step_bytes = n * cfg.Hp * (2 * va_pad * c_cand * 4 + m * beam * 4)
+    )
+    mxu_flops = n * cfg.Hp * 2 * m * k * beam
+    step_flops = pred_flops + mxu_flops
+    pred_bytes = n * cfg.Hp * 2 * va_pad * c_cand * 4
+    mxu_bytes = m * k * 4 + n * cfg.Hp * m * beam * 4
+    step_bytes = pred_bytes + mxu_bytes
+    floor_s = pred_bytes / PEAK_HBM + max(
+        mxu_flops / PEAK_MXU_BF16, mxu_bytes / PEAK_HBM
+    )
     step_entry = {
         "analytic_flop_equiv_ub": step_flops,
         "analytic_hbm_bytes_approx": step_bytes,
-        "roofline_min_time_ms": round(
-            max(step_flops / PEAK_MXU_BF16, step_bytes / PEAK_HBM) * 1e3, 4
+        "predicate_floor_ms_hbm": round(pred_bytes / PEAK_HBM * 1e3, 4),
+        "mxu_floor_ms": round(
+            max(mxu_flops / PEAK_MXU_BF16, mxu_bytes / PEAK_HBM) * 1e3, 4
         ),
+        "roofline_min_time_ms": round(floor_s * 1e3, 4),
+        "floor_note": "predicates HBM-denominated (VPU work cannot use "
+                      "the MXU), expansion MXU/HBM-denominated; floor = "
+                      "sum of the two",
     }
     if device_step_seconds:
         step_entry["measured_ms"] = round(device_step_seconds * 1e3, 3)
         step_entry["achieved_tflops_equiv"] = round(
             step_flops / device_step_seconds / 1e12, 3
         )
-        step_entry["frac_of_mxu_bf16_peak"] = round(
-            step_flops / PEAK_MXU_BF16 / device_step_seconds, 5
+        step_entry["frac_of_roofline_floor"] = round(
+            floor_s / device_step_seconds, 5
         )
         step_entry["achieved_gb_per_s"] = round(
             step_bytes / device_step_seconds / 1e9, 2
