@@ -168,6 +168,74 @@ def _device_p95(cfg, mpa_t, sc_t, n_chains=10):
     return float(np.percentile(arr, 95)), float(np.median(arr))
 
 
+def _host_loop_latency():
+    """Deployment-shaped real-time demo: the HOST loop (hlc.run_with_plant,
+    per-step measure -> jitted plan -> apply through the SimulationPlant)
+    on cr20, wall-clock per step vs the 200 ms control budget
+    (/root/reference/config/Config.m:32). Includes the ~27 ms tunnel round
+    trip per step that a locally-attached deployment never pays."""
+    from pdmpc_tpu import hlc
+    from pdmpc_tpu.config import Config, PriorityStrategies, ScenarioType
+
+    cfg = Config(
+        scenario_type=ScenarioType.commonroad, amount=20, T_end=4.0,
+        beam_width=256, priority=PriorityStrategies.coloring_priority,
+    )
+    try:
+        res = hlc.run_with_plant(cfg)
+        t = res.timings
+        spans = []
+        for name in ("measure", "plan", "apply"):
+            arr = np.asarray(t[name], dtype=float)
+            spans.append(arr[1])
+        per_step = np.nansum(spans, axis=0) * 1e3          # ms
+        warm = per_step[1:]                                # step 0 compiles
+        return {
+            "scenario": "commonroad_20veh", "n_steps": int(len(per_step)),
+            "host_loop_p95_ms": round(float(np.percentile(warm, 95)), 2),
+            "host_loop_median_ms": round(float(np.median(warm)), 2),
+            "first_step_ms_incl_compile": round(float(per_step[0]), 1),
+            "realtime_budget_ms": 200.0,
+            "note": "per-step host fetch includes ~27 ms tunnel round trip",
+        }
+    except Exception as e:  # noqa: BLE001 — bench must still print
+        return {"error": type(e).__name__, "detail": str(e)[:200]}
+
+
+def _mixed64():
+    """64-vehicle mixed road/free-space fleet ON the TPU (BASELINE.json
+    config 4; CPU CI covers the 16-vehicle point in tests/test_mixed.py),
+    asserted collision-free and deadlock-free."""
+    from pdmpc_tpu.experiment import run_experiment
+    from tests.test_controller import pairwise_vehicle_collisions
+
+    try:
+        cfg, mpa_t, sc_t = _build("mixed", 64, 2.0, 128,
+                                  priority="constant")
+        del mpa_t, sc_t
+        t0 = time.perf_counter()
+        res = run_experiment(cfg)
+        elapsed = time.perf_counter() - t0
+        poses = np.asarray(res.infos.poses)[:, :, 0]
+        moved = np.linalg.norm(poses[-1, :, :2] - poses[0, :, :2], axis=-1)
+        collisions = pairwise_vehicle_collisions(res)
+        out = {
+            "scenario": "mixed_64veh", "n_vehicles": 64,
+            "k_end": cfg.k_end,
+            "collision_free": collisions == [],
+            "n_collisions": len(collisions),
+            "deadlock_free": bool((moved > 0.2).all()),
+            "min_moved_m": round(float(moved.min()), 3),
+            "fallback_rate": round(
+                float(np.asarray(res.infos.needs_fallback).mean()), 4),
+            "wall_s_incl_compile": round(elapsed, 1),
+        }
+        out["ok"] = out["collision_free"] and out["deadlock_free"]
+        return out
+    except Exception as e:  # noqa: BLE001 — bench must still print
+        return {"error": type(e).__name__, "detail": str(e)[:200]}
+
+
 def _mesh_scaling(n_devices=8, timeout_s=600):
     """Scaling efficiency on a virtual CPU mesh (subprocess: the preloaded
     TPU backend in this process cannot be re-platformed)."""
@@ -307,6 +375,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         monte_carlo = {"error": type(e).__name__}
     scaling = _mesh_scaling()
+    host_loop = _host_loop_latency()
+    mixed64 = _mixed64()
     golden_check = _golden_crosscheck()
     # speed-of-light: per-kernel achieved vs roofline on THIS device
     # (BASELINE.json "measure rollout+solve kernels at speed-of-light per
@@ -361,6 +431,8 @@ def main():
             "batch_scaling_curve": curve,
             "monte_carlo_4096_rollouts": monte_carlo,
             "mesh_scaling_8dev_cpu": scaling,
+            "host_loop": host_loop,
+            "mixed_64veh": mixed64,
             "sol_utilization": sol,
             "tpu_vs_golden": golden_check,
             "device": str(jax.devices()[0]),

@@ -247,7 +247,10 @@ class Config:
     # Compact-level planning batch (single-program path): each level-loop
     # iteration plans up to this many same-level vehicles as one batch,
     # so every vehicle is planned exactly once per step instead of the
-    # dense all-vehicles-every-level sweep. None = ceil(amount / 2).
+    # dense all-vehicles-every-level sweep. None = 2, the measured cr20
+    # optimum (padded chunk slots burn a full planning pass, so narrow
+    # chunks waste the least work; sweep on v5e: 2 -> 9.4 ms step median,
+    # 5 -> 10.9, 10 -> 14.8, 20 -> 27.4).
     # Purely a scheduling knob — results are identical at any value.
     level_chunk: int | None = None
     # Pallas TPU kernel for the SAT collision mask (None = auto: on for TPU

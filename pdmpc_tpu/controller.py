@@ -496,7 +496,8 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
 
 
 def make_prioritized_step(cfg: Config, mpa: MpaTensors,
-                          scenario: ScenarioTensors, comm_factory=None):
+                          scenario: ScenarioTensors, comm_factory=None,
+                          debug_capture: bool = False):
     """Build the jittable per-step function ``step(state, k) -> (state, info)``.
 
     Strategy selectors are static (baked at trace time), mirroring how the
@@ -509,6 +510,13 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     traffic broadcast and per-level prediction exchange become
     ``all_gather`` collectives over ICI (the reference's ROS 2 topics,
     SURVEY §2.7). State arrays then hold only the local vehicle block.
+
+    ``debug_capture`` (LocalComm constant-priority path only) makes the
+    step return ``(state, info, capture)`` where ``capture`` holds the
+    exact per-vehicle planning inputs (obstacle snapshot at plan time,
+    obstacle mask, boundary segments, reference samples) so an external
+    oracle can re-derive every plan — the system-level cross-validation
+    harness (tests/test_oracle_replay.py).
     """
     from pdmpc_tpu.parallel.comm import LocalComm
 
@@ -532,10 +540,17 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     if comm_factory is None:
         comm_factory = lambda: LocalComm(n)  # noqa: E731
 
+    if debug_capture:
+        assert cfg.priority not in (
+            PriorityStrategies.optimal_priority,
+            PriorityStrategies.explorative_priority,
+        ), "debug_capture supports the single-prioritization path only"
+
     def step(state: StepState, k: jax.Array):
         comm = comm_factory()
         nl = comm.n_local
         gidx = comm.global_indices()
+        capture_out: dict = {}
 
         # ---- local traffic info ------------------------------------------
         ref_points, v_ref, seg_idx, proj_seg = jax.vmap(
@@ -837,7 +852,13 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 # numbers — so results are identical to the dense sweep
                 # that planned all N vehicles at every level (N*L plans
                 # instead of ~N), and the reported `levels` are untouched.
-                c_chunk = min(n, cfg.level_chunk or -(-n // 2))
+                # chunk width 2 measured fastest on cr20/v5e (median step
+                # 9.4 ms vs 14.8 at ceil(n/2)=10, batch-32 throughput
+                # 2568 vs 2105 solves/s): padded slots burn a full
+                # planning pass, so narrow chunks waste at most one slot
+                # per iteration while wide ones plan mostly padding
+                # whenever level sizes run below the chunk width
+                c_chunk = min(n, cfg.level_chunk or 2)
                 order = jnp.argsort(
                     levels * jnp.int32(n + 1)
                     + jnp.arange(n, dtype=jnp.int32)
@@ -860,11 +881,12 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                                     ).at[chunk_id, slot].set(order)
 
                 def chunk_body(carry):
-                    ci, planned, planned_shapes = carry
+                    ci, planned, planned_shapes, obs_seen = carry
                     idx = schedule[ci]                   # [C]
                     valid = idx >= 0
                     safe = jnp.maximum(idx, 0)
-                    plan_v = make_plan_v(build_obs_polys(planned_shapes))
+                    obs_snapshot = build_obs_polys(planned_shapes)
+                    plan_v = make_plan_v(obs_snapshot)
                     args = (safe, state.pose[safe], state.trim[safe],
                             ref_points[safe], v_ref[safe],
                             obs_mask_l[safe])
@@ -906,14 +928,30 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                         pad_polys_to_vo(result.shapes)[slot_of],
                         planned_shapes,
                     )
-                    return (ci + 1, planned, planned_shapes)
+                    if obs_seen is not None:
+                        # record the obstacle snapshot each vehicle
+                        # actually planned against (oracle replay)
+                        obs_seen = jnp.where(
+                            planned_now[:, None, None, None, None],
+                            obs_snapshot[None],
+                            obs_seen,
+                        )
+                    return (ci + 1, planned, planned_shapes, obs_seen)
 
-                _, planned, planned_shapes_g = jax.lax.while_loop(
-                    lambda c: c[0] < n_chunks,
-                    chunk_body,
-                    (jnp.array(0, dtype=jnp.int32), planned0,
-                     planned_shapes0),
+                obs_seen0 = (
+                    jnp.zeros((n, n_obs_total, hp, VO, 2))
+                    if debug_capture else None
                 )
+                _, planned, planned_shapes_g, obs_seen_f = \
+                    jax.lax.while_loop(
+                        lambda c: c[0] < n_chunks,
+                        chunk_body,
+                        (jnp.array(0, dtype=jnp.int32), planned0,
+                         planned_shapes0, obs_seen0),
+                    )
+                if debug_capture:
+                    capture_out["obs_polys"] = obs_seen_f  # [N, O, Hp, VO, 2]
+                    capture_out["obs_mask"] = obs_mask_l   # [N, O]
                 return planned, planned_shapes_g, sequential, levels
 
             def level_body(carry):
@@ -1112,6 +1150,15 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
             reference_points=ref_points,
             priority_permutation=perm_chosen,
         )
+        if debug_capture:
+            capture_out["ref_points"] = ref_points       # [N, Hp, 2]
+            capture_out["v_ref"] = v_ref                 # [N, Hp]
+            capture_out["pose0"] = state.pose            # [N, 3]
+            capture_out["trim0"] = state.trim            # [N]
+            if bnd_segs is not None:
+                capture_out["bnd_segs"] = bnd_segs       # [N, S, 2, 2]
+                capture_out["bnd_mask"] = bnd_mask       # [N, S]
+            return new_state, info, capture_out
         return new_state, info
 
     return step

@@ -57,6 +57,9 @@ def _load() -> ctypes.CDLL:
             ctypes.c_double, ctypes.c_int,               # yaw0, trim0
             f8p, f8p, ctypes.c_double,                   # ref, vref, dt
             f8p, u8p, ctypes.c_int, ctypes.c_int,        # obs, mask, n_obs, vo
+            ctypes.c_int,                                # non_convex
+            f8p, ctypes.c_int,                           # bnd, n_bnd
+            f8p, f8p,                                    # areas_bnd_no/lg
             i4p, f8p,                                    # out trims, poses
             ctypes.POINTER(ctypes.c_double),             # out cost
             ctypes.POINTER(ctypes.c_int),                # out n_expanded
@@ -74,16 +77,39 @@ def native_available() -> bool:
 
 
 def astar_plan_native(mpa, x0, trim0, ref_points, v_ref, obs_polys,
-                      obs_mask, dt):
-    """Native A* with the interface of utils.astar_oracle.astar_plan."""
+                      obs_mask, dt, boundary_segments=None,
+                      boundary_mask=None, non_convex=False):
+    """Native A* with the interface of utils.astar_oracle.astar_plan
+    (incl. the road-path constraints: non-convex outline obstacles and
+    lanelet-boundary segments)."""
     from pdmpc_tpu.utils.astar_oracle import OraclePlan
 
     lib = _load()
     hp = mpa.Hp
     n = mpa.n_trims
-    va = mpa.area_conv.shape[2]
+    if non_convex:
+        area_obs = mpa.area_nc
+        area_bnd_no = mpa.area_nc_no_offset
+        area_bnd_lg = mpa.area_nc_large_offset
+    else:
+        area_obs = mpa.area_conv
+        area_bnd_no = mpa.area_conv_no_offset
+        area_bnd_lg = mpa.area_conv_large_offset
+    va = area_obs.shape[2]
     obs_polys = np.ascontiguousarray(obs_polys, dtype=np.float64)
     n_obs, _, vo = obs_polys.shape[0], obs_polys.shape[1], obs_polys.shape[2]
+
+    if boundary_segments is not None:
+        bmask = np.asarray(boundary_mask, dtype=bool)
+        bnd = np.ascontiguousarray(
+            np.asarray(boundary_segments, dtype=np.float64)[bmask]
+        )
+        n_bnd = bnd.shape[0]
+        if n_bnd == 0:
+            bnd = np.zeros((1, 2, 2), dtype=np.float64)
+    else:
+        bnd = np.zeros((1, 2, 2), dtype=np.float64)
+        n_bnd = 0
 
     out_trims = np.zeros(hp, dtype=np.int32)
     out_poses = np.zeros((hp, 3), dtype=np.float64)
@@ -96,7 +122,7 @@ def astar_plan_native(mpa, x0, trim0, ref_points, v_ref, obs_polys,
         np.ascontiguousarray(mpa.dx, dtype=np.float64),
         np.ascontiguousarray(mpa.dy, dtype=np.float64),
         np.ascontiguousarray(mpa.dyaw, dtype=np.float64),
-        np.ascontiguousarray(mpa.area_conv, dtype=np.float64),
+        np.ascontiguousarray(area_obs, dtype=np.float64),
         va,
         float(x0[0]), float(x0[1]), float(x0[2]), int(trim0),
         np.ascontiguousarray(ref_points, dtype=np.float64),
@@ -105,6 +131,10 @@ def astar_plan_native(mpa, x0, trim0, ref_points, v_ref, obs_polys,
         obs_polys,
         np.ascontiguousarray(obs_mask, dtype=np.uint8),
         n_obs, vo,
+        int(non_convex),
+        bnd, n_bnd,
+        np.ascontiguousarray(area_bnd_no, dtype=np.float64),
+        np.ascontiguousarray(area_bnd_lg, dtype=np.float64),
         out_trims, out_poses,
         ctypes.byref(cost), ctypes.byref(n_expanded),
     )

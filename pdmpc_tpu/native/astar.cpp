@@ -75,11 +75,53 @@ bool sat_collide(const double* a, int va, const double* b, int vb) {
            sat_separated_one_direction(b, vb, a, va));
 }
 
+// Robust segment-crossing predicate — mirror of
+// ops/search._segment_cross_predicate (SEG_CROSS_TOL parameter band),
+// keep in lockstep with the Python/Pallas implementations.
+constexpr double kSegCrossTol = 1e-4;
+
+bool segments_cross(double ax1, double ay1, double ax2, double ay2,
+                    double bx1, double by1, double bx2, double by2) {
+  const double rx = ax2 - ax1, ry = ay2 - ay1;
+  const double sx = bx2 - bx1, sy = by2 - by1;
+  const double qpx = bx1 - ax1, qpy = by1 - ay1;
+  const double d = rx * sy - ry * sx;
+  const double a_num = qpx * sy - qpy * sx;
+  const double b_num = qpx * ry - qpy * rx;
+  const double ad = std::abs(d);
+  const double t_lim = kSegCrossTol * d * d;
+  const double m_lim = ad * (1.0 + kSegCrossTol);
+  return ad >= 1e-9 && a_num * d >= -t_lim && std::abs(a_num) <= m_lim &&
+         b_num * d >= -t_lim && std::abs(b_num) <= m_lim;
+}
+
+// Non-convex InterX-equivalent collision: closed outlines intersect
+// (ops/search.candidate_outline_collisions semantics).
+bool outline_collide(const double* a, int va, const double* b, int vb) {
+  for (int i = 0; i < va; ++i) {
+    const int i2 = (i + 1) % va;
+    for (int j = 0; j < vb; ++j) {
+      const int j2 = (j + 1) % vb;
+      if (segments_cross(a[2 * i], a[2 * i + 1], a[2 * i2], a[2 * i2 + 1],
+                         b[2 * j], b[2 * j + 1], b[2 * j2],
+                         b[2 * j2 + 1]))
+        return true;
+    }
+  }
+  return false;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Returns 0 on success, 1 when the search is exhausted (no feasible leaf).
+// Road-path constraints (GraphSearch.m:111-196 full set): `non_convex`
+// switches the obstacle test from SAT to outline crossing; `bnd`
+// ([n_bnd, 2, 2], pre-filtered to active segments, n_bnd = 0 to disable)
+// adds the lanelet-boundary constraint checked on the without-offset
+// swept area (`areas_bnd_no`), large-offset at the final step
+// (`areas_bnd_lg`) — shapes_for_boundary_check, GraphSearch.m:166-174.
 int astar_plan(
     int n_trims, int hp,
     const std::uint8_t* transition,  // [hp, n, n]
@@ -95,6 +137,11 @@ int astar_plan(
     const double* obs,            // [n_obs, hp, vo, 2]
     const std::uint8_t* obs_mask, // [n_obs, hp]
     int n_obs, int vo,
+    int non_convex,
+    const double* bnd,            // [n_bnd, 2, 2] active boundary segments
+    int n_bnd,
+    const double* areas_bnd_no,   // [n, n, va, 2] without-offset areas
+    const double* areas_bnd_lg,   // [n, n, va, 2] large-offset areas
     int* out_trims,      // [hp]
     double* out_poses,   // [hp, 3]
     double* out_cost,
@@ -121,8 +168,10 @@ int astar_plan(
     if (node.parent >= 0) {
       const Node& par = nodes[node.parent];
       const double c = std::cos(par.yaw), s = std::sin(par.yaw);
-      const double* area = areas + ((static_cast<std::size_t>(par.trim) *
-                                     n_trims + node.trim) * va) * 2;
+      const std::size_t edge_off =
+          ((static_cast<std::size_t>(par.trim) * n_trims + node.trim) * va) *
+          2;
+      const double* area = areas + edge_off;
       for (int v = 0; v < va; ++v) {
         shape[2 * v] = c * area[2 * v] - s * area[2 * v + 1] + par.x;
         shape[2 * v + 1] = s * area[2 * v] + c * area[2 * v + 1] + par.y;
@@ -133,7 +182,27 @@ int astar_plan(
         if (!obs_mask[o * hp + k]) continue;
         const double* poly = obs +
             ((static_cast<std::size_t>(o) * hp + k) * vo) * 2;
-        hit = sat_collide(shape.data(), va, poly, vo);
+        hit = non_convex ? outline_collide(shape.data(), va, poly, vo)
+                         : sat_collide(shape.data(), va, poly, vo);
+      }
+      if (!hit && n_bnd > 0) {
+        const double* bnd_area =
+            (k == hp - 1 ? areas_bnd_lg : areas_bnd_no) + edge_off;
+        for (int v = 0; v < va; ++v) {
+          shape[2 * v] =
+              c * bnd_area[2 * v] - s * bnd_area[2 * v + 1] + par.x;
+          shape[2 * v + 1] =
+              s * bnd_area[2 * v] + c * bnd_area[2 * v + 1] + par.y;
+        }
+        for (int b = 0; b < n_bnd && !hit; ++b) {
+          const double* sg = bnd + 4 * static_cast<std::size_t>(b);
+          for (int v = 0; v < va && !hit; ++v) {
+            const int v2 = (v + 1) % va;
+            hit = segments_cross(shape[2 * v], shape[2 * v + 1],
+                                 shape[2 * v2], shape[2 * v2 + 1], sg[0],
+                                 sg[1], sg[2], sg[3]);
+          }
+        }
       }
       if (hit) continue;
     }

@@ -19,6 +19,49 @@ import numpy as np
 from pdmpc_tpu.models.mpa import Mpa
 
 
+# mirror of ops/search.py SEG_CROSS_TOL — the two predicates must stay in
+# lockstep (search.py:241-263)
+SEG_CROSS_TOL = 1e-4
+
+
+def _segments_cross_np(a1, a2, b1, b2) -> bool:
+    """Any-pair segment crossing with the search's robust predicate.
+
+    a1, a2: [A, 2] candidate-edge endpoints; b1, b2: [S, 2]. Mirrors
+    ops/search._segment_cross_predicate (division-free, parameter band
+    [-TOL, 1+TOL]) so the oracle accepts/rejects exactly the same
+    touches as the device search.
+    """
+    r = (a2 - a1)[:, None, :]                        # [A, 1, 2]
+    s = (b2 - b1)[None, :, :]                        # [1, S, 2]
+    qp = b1[None, :, :] - a1[:, None, :]             # [A, S, 2]
+    d = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    a_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    b_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    ad = np.abs(d)
+    t_lim = SEG_CROSS_TOL * d * d
+    m_lim = ad * (1.0 + SEG_CROSS_TOL)
+    hit = (
+        (ad >= 1e-9)
+        & (a_num * d >= -t_lim) & (np.abs(a_num) <= m_lim)
+        & (b_num * d >= -t_lim) & (np.abs(b_num) <= m_lim)
+    )
+    return bool(hit.any())
+
+
+def _poly_edges(p: np.ndarray):
+    """Closed-outline edge endpoints of polygon [V, 2]."""
+    return p, np.roll(p, -1, axis=0)
+
+
+def _outline_collide_np(a: np.ndarray, b: np.ndarray) -> bool:
+    """Non-convex InterX-equivalent: outlines intersect
+    (ops/search.candidate_outline_collisions semantics)."""
+    a1, a2 = _poly_edges(a)
+    b1, b2 = _poly_edges(b)
+    return _segments_cross_np(a1, a2, b1, b2)
+
+
 def _sat_collide_np(a: np.ndarray, b: np.ndarray) -> bool:
     """SAT for convex polygons [V, 2] (intersect_sat.m semantics)."""
 
@@ -54,8 +97,34 @@ def astar_plan(
     obs_polys: np.ndarray,   # [n_obs, Hp, V, 2]
     obs_mask: np.ndarray,    # [n_obs, Hp]
     dt: float,
+    boundary_segments: np.ndarray | None = None,   # [S, 2, 2]
+    boundary_mask: np.ndarray | None = None,       # [S]
+    non_convex: bool = False,
 ) -> OraclePlan:
+    """Reference A* with the full road-path constraint set.
+
+    ``non_convex`` switches the obstacle check from SAT to the
+    outline-crossing (InterX-equivalent) test on the non-convex area
+    family; ``boundary_segments`` adds the lanelet-boundary constraint
+    (without-offset swept area, large-offset at the final step —
+    GraphSearch.m:166-174 shapes_for_boundary_check).
+    """
     hp = mpa.Hp
+    if non_convex:
+        area_obs = mpa.area_nc
+        area_bnd_no = mpa.area_nc_no_offset
+        area_bnd_lg = mpa.area_nc_large_offset
+    else:
+        area_obs = mpa.area_conv
+        area_bnd_no = mpa.area_conv_no_offset
+        area_bnd_lg = mpa.area_conv_large_offset
+    if boundary_segments is not None:
+        bseg = np.asarray(boundary_segments, dtype=float)
+        bmask = np.asarray(boundary_mask, dtype=bool)
+        bnd1 = bseg[bmask, 0]
+        bnd2 = bseg[bmask, 1]
+    else:
+        bnd1 = bnd2 = None
     # node: (x, y, yaw, trim, k, g)
     nodes = [(float(x0[0]), float(x0[1]), float(x0[2]), int(trim0), 0, 0.0)]
     parents = [-1]
@@ -71,24 +140,32 @@ def astar_plan(
             return False
         px, py, pyaw, ptrim, _, _ = nodes[p]
         _, _, _, ctrim, ck, _ = nodes[node_id]
-        area = (
-            mpa.area_conv[ptrim, ctrim]
-            if mpa.area_conv is not None
-            else None
-        )
         c, s = np.cos(pyaw), np.sin(pyaw)
-        world = np.stack(
-            [
-                c * area[:, 0] - s * area[:, 1] + px,
-                s * area[:, 0] + c * area[:, 1] + py,
-            ],
-            axis=-1,
-        )
+
+        def to_world(local):
+            return np.stack(
+                [
+                    c * local[:, 0] - s * local[:, 1] + px,
+                    s * local[:, 0] + c * local[:, 1] + py,
+                ],
+                axis=-1,
+            )
+
+        world = to_world(area_obs[ptrim, ctrim])
         k = ck - 1  # 0-based prediction step of this edge
+        hit_test = _outline_collide_np if non_convex else _sat_collide_np
         for o in range(obs_polys.shape[0]):
             if not obs_mask[o, k]:
                 continue
-            if _sat_collide_np(world, obs_polys[o, k]):
+            if hit_test(world, obs_polys[o, k]):
+                return True
+        if bnd1 is not None and len(bnd1):
+            bnd_local = (
+                area_bnd_lg[ptrim, ctrim] if k == hp - 1
+                else area_bnd_no[ptrim, ctrim]
+            )
+            a1, a2 = _poly_edges(to_world(bnd_local))
+            if _segments_cross_np(a1, a2, bnd1, bnd2):
                 return True
         return False
 

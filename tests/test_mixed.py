@@ -5,8 +5,8 @@ where road vehicles keep full lanelet semantics (boundary constraints,
 corridor clipping, lanelet-prefiltered coupling) while free-space
 vehicles run circle-crossing clusters with those constraints inert
 (pdmpc_tpu/scenarios/mixed.py). CPU CI runs the 16-vehicle point; the
-full 64-vehicle configuration with 256 batched rollouts is asserted
-collision-free on the TPU by bench.py.
+full 64-vehicle configuration is run on the TPU by bench.py
+(extra.mixed_64veh) and asserted collision-free and deadlock-free.
 """
 
 import numpy as np

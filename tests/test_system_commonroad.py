@@ -22,8 +22,10 @@ GOLDEN_CONFIGS = {
         scenario_type=ScenarioType.commonroad, amount=3, T_end=4.0,
         beam_width=64,
     ),
+    # headline scenario at the reference CI horizon (T_end = 4 s,
+    # Config_systemtests_prioritized.json)
     "commonroad_20veh": Config(
-        scenario_type=ScenarioType.commonroad, amount=20, T_end=2.0,
+        scenario_type=ScenarioType.commonroad, amount=20, T_end=4.0,
         beam_width=64,
     ),
     # long-horizon operating point: Hp=10 MPA built by the DP reachability

@@ -91,7 +91,7 @@ def build_inputs(cfg=None):
     sc_t = sc.to_tensors()
 
     n = cfg.amount
-    chunk = min(n, cfg.level_chunk or -(-n // 2))    # compact-level batch
+    chunk = min(n, cfg.level_chunk or 2)             # compact-level batch
     n_trims = mpa_t.n_trims
     beam = cfg.beam_width
     va = mpa_t.area.shape[-2]
