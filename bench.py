@@ -75,7 +75,17 @@ def _throughput(cfg, mpa_t, sc_t, batch, reps=3):
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (batch, *x.shape)), state0
     )
-    states, _ = run(states, mpa_t, sc_t)            # compile + warm
+    # the tunnel's remote-compile service sporadically drops a request
+    # ("response body closed before all bytes were read"); one retry after
+    # a settle period rides it out instead of failing the whole bench
+    for attempt in (0, 1):
+        try:
+            states, _ = run(states, mpa_t, sc_t)    # compile + warm
+            break
+        except Exception:  # noqa: BLE001 — jax runtime errors only
+            if attempt:
+                raise
+            time.sleep(90)
     float(jnp.sum(states.pose))                     # sync
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -168,7 +178,7 @@ def _device_p95(cfg, mpa_t, sc_t, n_chains=10):
     return float(np.percentile(arr, 95)), float(np.median(arr))
 
 
-def _host_loop_latency():
+def _host_loop_latency(amount=20, t_end=4.0, beam=256):
     """Deployment-shaped real-time demo: the HOST loop (hlc.run_with_plant,
     per-step measure -> jitted plan -> apply through the SimulationPlant)
     on cr20, wall-clock per step vs the 200 ms control budget
@@ -178,8 +188,8 @@ def _host_loop_latency():
     from pdmpc_tpu.config import Config, PriorityStrategies, ScenarioType
 
     cfg = Config(
-        scenario_type=ScenarioType.commonroad, amount=20, T_end=4.0,
-        beam_width=256, priority=PriorityStrategies.coloring_priority,
+        scenario_type=ScenarioType.commonroad, amount=amount, T_end=t_end,
+        beam_width=beam, priority=PriorityStrategies.coloring_priority,
     )
     try:
         res = hlc.run_with_plant(cfg)
@@ -191,7 +201,8 @@ def _host_loop_latency():
         per_step = np.nansum(spans, axis=0) * 1e3          # ms
         warm = per_step[1:]                                # step 0 compiles
         return {
-            "scenario": "commonroad_20veh", "n_steps": int(len(per_step)),
+            "scenario": f"commonroad_{amount:02d}veh",
+            "n_steps": int(len(per_step)),
             "host_loop_p95_ms": round(float(np.percentile(warm, 95)), 2),
             "host_loop_median_ms": round(float(np.median(warm)), 2),
             "first_step_ms_incl_compile": round(float(per_step[0]), 1),
@@ -202,7 +213,7 @@ def _host_loop_latency():
         return {"error": type(e).__name__, "detail": str(e)[:200]}
 
 
-def _mixed64():
+def _mixed64(amount=64, t_end=2.0, beam=128):
     """64-vehicle mixed road/free-space fleet ON the TPU (BASELINE.json
     config 4; CPU CI covers the 16-vehicle point in tests/test_mixed.py),
     asserted collision-free and deadlock-free."""
@@ -210,7 +221,7 @@ def _mixed64():
     from tests.test_controller import pairwise_vehicle_collisions
 
     try:
-        cfg, mpa_t, sc_t = _build("mixed", 64, 2.0, 128,
+        cfg, mpa_t, sc_t = _build("mixed", amount, t_end, beam,
                                   priority="constant")
         del mpa_t, sc_t
         t0 = time.perf_counter()
@@ -220,7 +231,7 @@ def _mixed64():
         moved = np.linalg.norm(poses[-1, :, :2] - poses[0, :, :2], axis=-1)
         collisions = pairwise_vehicle_collisions(res)
         out = {
-            "scenario": "mixed_64veh", "n_vehicles": 64,
+            "scenario": f"mixed_{amount}veh", "n_vehicles": amount,
             "k_end": cfg.k_end,
             "collision_free": collisions == [],
             "n_collisions": len(collisions),

@@ -495,6 +495,37 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
 # ---------------------------------------------------------------------------
 
 
+def compact_schedule(levels: jax.Array, c_chunk: int):
+    """Compact-level planning schedule: rows of up-to-``c_chunk``
+    same-level vehicle indices, ordered by (level, vehicle index).
+
+    levels [N] (1-based Kahn levels) -> (schedule [N, c_chunk] i32 with
+    -1 padding, n_chunks scalar). Every vehicle appears exactly once;
+    a chunk never mixes levels, and chunks are emitted in level order —
+    so planning chunk rows sequentially respects the DAG schedule while
+    planning each vehicle exactly once (vs the dense N*L sweep).
+    """
+    n = levels.shape[0]
+    order = jnp.argsort(
+        levels * jnp.int32(n + 1) + jnp.arange(n, dtype=jnp.int32)
+    )                                                # (level, index)
+    lev_sorted = levels[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        lev_sorted[1:] != lev_sorted[:-1],
+    ])
+    level_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
+    r = pos - level_start
+    new_chunk = is_start | (r % c_chunk == 0)
+    chunk_id = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
+    n_chunks = chunk_id[-1] + 1
+    slot = r % c_chunk
+    schedule = jnp.full((n, c_chunk), -1, dtype=jnp.int32
+                        ).at[chunk_id, slot].set(order)
+    return schedule, n_chunks
+
+
 def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                           scenario: ScenarioTensors, comm_factory=None,
                           debug_capture: bool = False):
@@ -859,26 +890,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 # per iteration while wide ones plan mostly padding
                 # whenever level sizes run below the chunk width
                 c_chunk = min(n, cfg.level_chunk or 2)
-                order = jnp.argsort(
-                    levels * jnp.int32(n + 1)
-                    + jnp.arange(n, dtype=jnp.int32)
-                )                                        # (level, index)
-                lev_sorted = levels[order]
-                pos = jnp.arange(n, dtype=jnp.int32)
-                is_start = jnp.concatenate([
-                    jnp.ones((1,), dtype=bool),
-                    lev_sorted[1:] != lev_sorted[:-1],
-                ])
-                level_start = jax.lax.cummax(
-                    jnp.where(is_start, pos, 0), axis=0
-                )
-                r = pos - level_start
-                new_chunk = is_start | (r % c_chunk == 0)
-                chunk_id = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
-                n_chunks = chunk_id[-1] + 1
-                slot = r % c_chunk
-                schedule = jnp.full((n, c_chunk), -1, dtype=jnp.int32
-                                    ).at[chunk_id, slot].set(order)
+                schedule, n_chunks = compact_schedule(levels, c_chunk)
 
                 def chunk_body(carry):
                     ci, planned, planned_shapes, obs_seen = carry

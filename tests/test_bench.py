@@ -29,3 +29,21 @@ class TestBench:
         cfg, mpa_t, sc_t = bench._build("circle", 2, 0.4, 16)
         p95, med = bench._device_p95(cfg, mpa_t, sc_t, n_chains=2)
         assert p95 >= med > 0
+
+    def test_host_loop_latency_small(self):
+        import bench
+
+        out = bench._host_loop_latency(amount=2, t_end=0.8, beam=32)
+        assert "error" not in out, out
+        assert out["n_steps"] == 4
+        assert out["host_loop_p95_ms"] > 0
+        assert out["host_loop_median_ms"] <= out["host_loop_p95_ms"]
+
+    def test_mixed_fleet_small(self):
+        import bench
+
+        out = bench._mixed64(amount=8, t_end=0.6, beam=32)
+        assert "error" not in out, out
+        assert out["n_vehicles"] == 8
+        assert out["collision_free"] is True
+        assert "fallback_rate" in out and "wall_s_incl_compile" in out

@@ -183,3 +183,42 @@ class TestDistanceCouplerPrefilter:
                    coupling=CouplingStrategies.distance_coupling)
         )
         assert res.n_steps == 5
+
+
+class TestCompactSchedule:
+    """Property test of the compact-level planning schedule
+    (controller.compact_schedule): every vehicle exactly once, chunks
+    never mix levels, chunks emitted in level order."""
+
+    def test_random_levels(self):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.controller import compact_schedule
+
+        rng = np.random.default_rng(7)
+        for trial in range(50):
+            n = int(rng.integers(1, 24))
+            c = int(rng.integers(1, n + 1))
+            # 1-based levels with arbitrary gaps and arbitrary assignment
+            levels = rng.integers(1, max(2, n // 2 + 1), size=n)
+            sched, n_chunks = compact_schedule(
+                jnp.asarray(levels, dtype=jnp.int32), c
+            )
+            sched = np.asarray(sched)
+            n_chunks = int(n_chunks)
+            used = sched[:n_chunks]
+            flat = used[used >= 0]
+            # every vehicle exactly once
+            assert sorted(flat.tolist()) == list(range(n)), (n, c, levels)
+            # rows beyond n_chunks are all padding
+            assert (sched[n_chunks:] == -1).all()
+            prev_level = 0
+            for row in used:
+                row_v = row[row >= 0]
+                assert len(row_v) >= 1
+                row_levels = levels[row_v]
+                # a chunk never mixes levels
+                assert (row_levels == row_levels[0]).all(), (n, c, levels)
+                # chunks in nondecreasing level order
+                assert row_levels[0] >= prev_level
+                prev_level = row_levels[0]
