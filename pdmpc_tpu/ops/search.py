@@ -580,8 +580,13 @@ def plan_trajectory(
              if use_pallas else None),
             bnd_pack[k0:] if use_pallas else None,
         )
+        # full unroll for short tails: the scan's while-op machinery
+        # (carry staging per iteration) measures ~0.2 ms per chunk on
+        # v5e — straight-line code removes it; compile time stays
+        # bounded because the tail is at most a few layers
         carry, (p_t, t_t, par_t, v_t) = jax.lax.scan(
-            lambda cc, xx: layer(cc, xx, b, b), carry, tail_xs
+            lambda cc, xx: layer(cc, xx, b, b), carry, tail_xs,
+            unroll=(hp - k0) <= 6,
         )
         for j in range(hp - k0):
             poses_l.append(p_t[j])
