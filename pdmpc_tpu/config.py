@@ -249,8 +249,9 @@ class Config:
     # so every vehicle is planned exactly once per step instead of the
     # dense all-vehicles-every-level sweep. None = 2, the measured cr20
     # optimum (padded chunk slots burn a full planning pass, so narrow
-    # chunks waste the least work; sweep on v5e: 2 -> 9.4 ms step median,
-    # 5 -> 10.9, 10 -> 14.8, 20 -> 27.4).
+    # chunks waste the least work; sweep on v5e after the round-4 sort-
+    # payload coupling fix: 2 -> 7.2 ms step median, 3 -> 7.6, 4 -> 8.6;
+    # pre-fix: 5 -> 10.9, 10 -> 14.8, 20 -> 27.4).
     # Purely a scheduling knob — results are identical at any value.
     level_chunk: int | None = None
     # Pallas TPU kernel for the SAT collision mask (None = auto: on for TPU

@@ -367,9 +367,16 @@ def plan_trajectory(
             # areas except the large-offset area at the final layer
             no_pack = _pack(mpa.area_no_offset)
             lg_pack = _pack(mpa.area_large_offset)
-            bnd_pack = jnp.where(
+            bnd_only = jnp.where(
                 (jnp.arange(hp) == hp - 1)[:, None, None], lg_pack, no_pack
             )                                            # [Hp, VA*n*2, n]
+            # fuse the obstacle- and boundary-geometry tables so each
+            # layer runs ONE one-hot matmul + ONE transform chain for
+            # both candidate sets (the hot loop is dispatch-gap bound)
+            bnd_pack = jnp.concatenate(
+                [jnp.broadcast_to(sat_pack[None], (hp, *sat_pack.shape)),
+                 bnd_only], axis=1
+            )                                            # [Hp, 2*VA*n*2, n]
         else:
             bnd_pack = jnp.zeros((hp, 1, 1))
     else:
@@ -418,18 +425,36 @@ def plan_trajectory(
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (n, b), 0) == trim[None]
             ).astype(jnp.float32)                             # [n, B]
-            satg = jax.lax.dot_general(
-                sat_pack, onehot, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(va, n, 2, b)
             ct = c.reshape(1, 1, b)                           # cos(parent yaw)
             st = s.reshape(1, 1, b)
             pxb = pose[:, 0].reshape(1, 1, b)
             pyb = pose[:, 1].reshape(1, 1, b)
-            cxk = (ct * satg[:, :, 0] - st * satg[:, :, 1]
-                   + pxb).reshape(va, n * b)
-            cyk = (st * satg[:, :, 0] + ct * satg[:, :, 1]
-                   + pyb).reshape(va, n * b)
+            if check_boundary:
+                # fused table: obstacle + boundary candidate geometries
+                # from ONE matmul and ONE transform chain (each one-hot
+                # column copies the same table rows, so results equal
+                # the two separate matmuls bit-for-bit)
+                g2 = jax.lax.dot_general(
+                    bnd_pack_k, onehot, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(2, va, n, 2, b)
+                gx = (ct[None] * g2[:, :, :, 0]
+                      - st[None] * g2[:, :, :, 1] + pxb[None])
+                gy = (st[None] * g2[:, :, :, 0]
+                      + ct[None] * g2[:, :, :, 1] + pyb[None])
+                cxk = gx[0].reshape(va, n * b)
+                cyk = gy[0].reshape(va, n * b)
+                bxk = gx[1].reshape(va, n * b)
+                byk = gy[1].reshape(va, n * b)
+            else:
+                satg = jax.lax.dot_general(
+                    sat_pack, onehot, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(va, n, 2, b)
+                cxk = (ct * satg[:, :, 0] - st * satg[:, :, 1]
+                       + pxb).reshape(va, n * b)
+                cyk = (st * satg[:, :, 0] + ct * satg[:, :, 1]
+                       + pyb).reshape(va, n * b)
             if non_convex:
                 collide = pk.outline_hits_pre(
                     cxk, cyk, obs_pre_k
@@ -457,14 +482,7 @@ def plan_trajectory(
         if check_boundary:
             # boundary areas: without offset; larger offset at final step
             if use_pallas:
-                bndg = jax.lax.dot_general(
-                    bnd_pack_k, onehot, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                ).reshape(va, n, 2, b)
-                bxk = (ct * bndg[:, :, 0] - st * bndg[:, :, 1]
-                       + pxb).reshape(va, n * b)
-                byk = (st * bndg[:, :, 0] + ct * bndg[:, :, 1]
-                       + pyb).reshape(va, n * b)
+                # bxk/byk already produced by the fused matmul above
                 crosses = pk.boundary_hits_pre(
                     bxk, byk, segments_pre
                 ).reshape(n, b).T
