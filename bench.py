@@ -247,6 +247,56 @@ def _mixed64(amount=64, t_end=2.0, beam=128):
         return {"error": type(e).__name__, "detail": str(e)[:200]}
 
 
+def _family_mode_extras(batch=32):
+    """Throughput spot-checks beyond the headline config: the other two
+    MPA families (choose_trims.m:37,85) and the two priority-voting
+    controllers (PrioritizedOptimal/ExplorativeController) — evidence the
+    specialty modes carry the same perf character, not just the default
+    path."""
+    from pdmpc_tpu.config import (
+        Config, MpaType, PriorityStrategies, ScenarioType,
+    )
+    from pdmpc_tpu.experiment import create_scenario
+    from pdmpc_tpu.models.mpa import build_mpa
+
+    cases = {
+        "triple_speed_circle4": Config(
+            scenario_type=ScenarioType.circle, amount=4, T_end=1.0,
+            beam_width=128, mpa_type=MpaType.triple_speed,
+        ),
+        "realistic_circle4": Config(
+            scenario_type=ScenarioType.circle, amount=4, T_end=1.0,
+            beam_width=128, mpa_type=MpaType.realistic,
+        ),
+        "optimal_priority_cr4": Config(
+            scenario_type=ScenarioType.commonroad, amount=4, T_end=1.0,
+            beam_width=64, priority=PriorityStrategies.optimal_priority,
+        ),
+        "explorative_priority_cr4": Config(
+            scenario_type=ScenarioType.commonroad, amount=4, T_end=1.0,
+            beam_width=64,
+            priority=PriorityStrategies.explorative_priority,
+        ),
+    }
+    out = {}
+    for name, cfg in cases.items():
+        try:
+            cfg = cfg.validate()
+            mpa = build_mpa(cfg)
+            sc = create_scenario(cfg, mpa)
+            solves, elapsed = _throughput(
+                cfg, mpa.to_tensors_for(cfg), sc.to_tensors(), batch=batch,
+                reps=1,
+            )
+            out[name] = {
+                "solves_per_s": round(solves, 1), "batch": batch,
+                "k_end": cfg.k_end, "n_trims": mpa.n_trims,
+            }
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            out[name] = {"error": type(e).__name__, "detail": str(e)[:120]}
+    return out
+
+
 def _mesh_scaling(n_devices=8, timeout_s=600):
     """Scaling efficiency on a virtual CPU mesh (subprocess: the preloaded
     TPU backend in this process cannot be re-platformed)."""
@@ -388,6 +438,7 @@ def main():
     scaling = _mesh_scaling()
     host_loop = _host_loop_latency()
     mixed64 = _mixed64()
+    families = _family_mode_extras()
     golden_check = _golden_crosscheck()
     # speed-of-light: per-kernel achieved vs roofline on THIS device
     # (BASELINE.json "measure rollout+solve kernels at speed-of-light per
@@ -444,6 +495,7 @@ def main():
             "mesh_scaling_8dev_cpu": scaling,
             "host_loop": host_loop,
             "mixed_64veh": mixed64,
+            "mpa_families_and_modes": families,
             "sol_utilization": sol,
             "tpu_vs_golden": golden_check,
             "device": str(jax.devices()[0]),

@@ -370,10 +370,14 @@ def _solve_optimal(cfg: Config, comm, solve, adjacency):
     order = jnp.argsort(~unique_mask, stable=True)      # uniques first
     sel = order[:p_max]
     n_unique = jnp.sum(unique_mask)
-    if p_max < f:
+    if p_max < f and jax.default_backend() == "cpu":
         # max_priority_permutations can silently drop acyclic orientations
         # on dense graphs — surface it (the reference enumerates all
-        # 2^edges orientations, Prioritizer.unique_priorities:97-140)
+        # 2^edges orientations, Prioritizer.unique_priorities:97-140).
+        # debug.print lowers to a host callback, which the tunneled TPU
+        # runtime rejects (axon_pjrt: no send/recv callbacks) — the
+        # warning is a dev/CI aid, so it is CPU-only; the truncation
+        # semantics are identical on every backend.
         jax.lax.cond(
             n_unique > p_max,
             lambda: jax.debug.print(

@@ -18,6 +18,7 @@ def main() -> int:
     coordinator, num_procs, pid = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     )
+    scenario_type = sys.argv[4] if len(sys.argv) > 4 else "circle"
 
     import jax
 
@@ -43,12 +44,15 @@ def main() -> int:
     from pdmpc_tpu.parallel import sharded
 
     cfg = Config(
-        scenario_type=ScenarioType.circle, amount=4, T_end=1.0,
+        scenario_type=ScenarioType(scenario_type), amount=4, T_end=1.0,
         beam_width=64,
     ).validate()
     mpa = build_mpa(cfg)
     scenario = create_scenario(cfg, mpa)
-    mpa_t = mpa.to_tensors(convex=True)
+    # commonroad exercises the hard path across processes: non-convex
+    # outline obstacles + lanelet-boundary segments ride the
+    # cross-process per-level collective
+    mpa_t = mpa.to_tensors_for(cfg)
     sc_t = scenario.to_tensors()
 
     # 2 scenario shards x 4 vehicle shards across both hosts: the vehicle

@@ -47,3 +47,15 @@ class TestBench:
         assert out["n_vehicles"] == 8
         assert out["collision_free"] is True
         assert "fallback_rate" in out and "wall_s_incl_compile" in out
+
+    def test_family_mode_extras(self):
+        import bench
+
+        out = bench._family_mode_extras(batch=2)
+        assert set(out) == {
+            "triple_speed_circle4", "realistic_circle4",
+            "optimal_priority_cr4", "explorative_priority_cr4",
+        }
+        for name, entry in out.items():
+            assert "error" not in entry, (name, entry)
+            assert entry["solves_per_s"] > 0

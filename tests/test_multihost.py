@@ -14,15 +14,21 @@ import sys
 import pytest
 
 
-def test_two_process_distributed_run():
+@pytest.mark.parametrize("scenario,port", [
+    ("circle", 29517),
+    # the hard path: non-convex outlines + lanelet boundaries exchanged
+    # over the cross-process collective
+    ("commonroad", 29523),
+])
+def test_two_process_distributed_run(scenario, port):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    coordinator = "127.0.0.1:29517"
+    coordinator = f"127.0.0.1:{port}"
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "tests._multihost_worker",
-             coordinator, "2", str(pid)],
+             coordinator, "2", str(pid), scenario],
             cwd=repo, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
