@@ -77,13 +77,14 @@ def _throughput(cfg, mpa_t, sc_t, batch, reps=3):
     )
     # the tunnel's remote-compile service sporadically drops a request
     # ("response body closed before all bytes were read"); one retry after
-    # a settle period rides it out instead of failing the whole bench
+    # a settle period rides that out — deterministic failures (shape
+    # errors, OOM) re-raise immediately
     for attempt in (0, 1):
         try:
             states, _ = run(states, mpa_t, sc_t)    # compile + warm
             break
-        except Exception:  # noqa: BLE001 — jax runtime errors only
-            if attempt:
+        except jax.errors.JaxRuntimeError as e:
+            if attempt or "remote_compile" not in str(e):
                 raise
             time.sleep(90)
     float(jnp.sum(states.pose))                     # sync
@@ -220,10 +221,13 @@ def _mixed64(amount=64, t_end=2.0, beam=128):
     from pdmpc_tpu.experiment import run_experiment
     from tests.test_controller import pairwise_vehicle_collisions
 
+    from pdmpc_tpu.config import Config, ScenarioType
+
     try:
-        cfg, mpa_t, sc_t = _build("mixed", amount, t_end, beam,
-                                  priority="constant")
-        del mpa_t, sc_t
+        cfg = Config(
+            scenario_type=ScenarioType.mixed, amount=amount, T_end=t_end,
+            beam_width=beam,
+        ).validate()
         t0 = time.perf_counter()
         res = run_experiment(cfg)
         elapsed = time.perf_counter() - t0

@@ -574,6 +574,11 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
     )
     if comm_factory is None:
         comm_factory = lambda: LocalComm(n)  # noqa: E731
+    elif debug_capture:
+        raise AssertionError(
+            "debug_capture supports the LocalComm single-program path "
+            "only (the mesh level loop records no obstacle snapshots)"
+        )
 
     if debug_capture:
         assert cfg.priority not in (

@@ -82,8 +82,14 @@ class ExperimentResult:
     def max_number_of_computation_levels(self) -> int:
         return int(np.asarray(self.infos.levels).max())
 
-    def save(self, directory: str) -> str:
-        """Persist result (.npz + Config.json), like save_merged()."""
+    def save(self, directory: str, partial: bool = False) -> str:
+        """Persist result (.npz + Config.json), like save_merged().
+
+        ``partial`` marks a truncated save (save-on-error): marked
+        results are skipped by ``utils.filenames.load_latest`` so a
+        crash at step 90/100 never poisons the whole-experiment
+        memoization with a truncated run.
+        """
         os.makedirs(directory, exist_ok=True)
         stamp = time.strftime("%y%m%d-%H%M%S")
         base = os.path.join(directory, stamp)
@@ -97,6 +103,8 @@ class ExperimentResult:
             "timings": self.timings,
             "git_hash": self.git_hash,
         }
+        if partial:
+            meta["partial"] = True
         with open(base + ".json", "w") as f:
             json.dump(meta, f, indent=2)
         return base

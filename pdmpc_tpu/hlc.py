@@ -131,7 +131,8 @@ def run_with_plant(options: Config, plant: Plant | None = None,
             from pdmpc_tpu.utils.filenames import results_directory
 
             try:
-                base = build_result().save(results_directory(options))
+                base = build_result().save(results_directory(options),
+                                           partial=True)
                 print(f"run aborted at step {k}; partial result saved to "
                       f"{base}.npz")
             except Exception as save_err:  # noqa: BLE001 — don't mask

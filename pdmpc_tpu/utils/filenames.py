@@ -45,6 +45,10 @@ def load_latest(options: Config, root: str | None = None):
             saved = Config.from_json_dict(meta["config"])
         except (json.JSONDecodeError, KeyError, ValueError):
             continue
+        if meta.get("partial"):
+            # truncated save-on-error result (hlc.run_with_plant): never
+            # serve it as a memoized complete experiment
+            continue
         if saved.isequal(options):
             return ExperimentResult.load(meta_path[: -len(".json")])
     return None

@@ -161,9 +161,20 @@ class TestSaveOnError:
         with pytest.raises(RuntimeError, match="injected"):
             hlc.run_with_plant(cfg, on_step=on_step)
 
-        saved = filenames.load_latest(cfg.validate())
-        assert saved is not None, "no partial result was persisted"
+        import glob
+        import json
+
+        metas = glob.glob(
+            filenames.results_directory(cfg.validate()) + "/*.json"
+        )
+        assert metas, "no partial result was persisted"
+        meta = json.load(open(metas[0]))
+        # partial saves are marked and therefore NEVER served by the
+        # whole-experiment memoization (a truncated run must not shadow
+        # or impersonate a complete cached result)
+        assert meta.get("partial") is True
+        assert filenames.load_latest(cfg.validate()) is None
+        saved = ExperimentResult.load(metas[0][: -len(".json")])
         # steps 0..crash_at completed before the crash
         assert saved.n_steps == crash_at + 1
-        assert isinstance(saved, ExperimentResult)
         assert np.isfinite(np.asarray(saved.infos.poses)).all()

@@ -115,9 +115,11 @@ class TestShardedHardPath:
         assert len(jax.devices()) >= 8
 
         results = {}
-        # compact-level single-program path at chunk 1, 2, and n (None
-        # defaults to ceil(n/2)); plus the dense MeshComm sweep
-        for chunk in (1, 2, cfg.amount, None):
+        # compact-level single-program path at chunk widths 1 (pure
+        # sequential), 3 (mixed fill), n (one chunk per level, maximal
+        # padding), and None (the default, 2); plus the dense MeshComm
+        # sweep — all must be bit-identical
+        for chunk in (1, 3, cfg.amount, None):
             cfg_c = dataclasses.replace(cfg, level_chunk=chunk)
             run = jax.jit(jax.vmap(make_run(cfg_c), in_axes=(0, None, None)))
             states0 = sharded.batched_initial_state(sc_t, cfg.Hp, BATCH)
