@@ -37,6 +37,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_SOLVES_PER_S = 100.0  # 20 vehicles / 0.2 s real-time budget
 
 
+def _compile_with_retry(fn, *args):
+    """First (compiling) invocation of a jitted fn with ONE retry.
+
+    The tunnel's remote-compile service sporadically drops a request
+    ("response body closed before all bytes were read"); a retry after a
+    settle period rides that out — deterministic failures (shape errors,
+    OOM) re-raise immediately. Used by every bench stage so a single
+    dropped request cannot red the whole run.
+    """
+    for attempt in (0, 1):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt or "remote_compile" not in str(e):
+                raise
+            time.sleep(90)
+
+
 def _build(scenario_type, n_vehicles, t_end, beam, priority="coloring"):
     from pdmpc_tpu.config import Config, PriorityStrategies, ScenarioType
 
@@ -75,18 +93,7 @@ def _throughput(cfg, mpa_t, sc_t, batch, reps=3):
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (batch, *x.shape)), state0
     )
-    # the tunnel's remote-compile service sporadically drops a request
-    # ("response body closed before all bytes were read"); one retry after
-    # a settle period rides that out — deterministic failures (shape
-    # errors, OOM) re-raise immediately
-    for attempt in (0, 1):
-        try:
-            states, _ = run(states, mpa_t, sc_t)    # compile + warm
-            break
-        except jax.errors.JaxRuntimeError as e:
-            if attempt or "remote_compile" not in str(e):
-                raise
-            time.sleep(90)
+    states, _ = _compile_with_retry(run, states, mpa_t, sc_t)  # compile+warm
     float(jnp.sum(states.pose))                     # sync
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -122,7 +129,7 @@ def _throughput_chunked(cfg, mpa_t, sc_t, batch, chunk, reps=1):
         lambda x: jnp.broadcast_to(x[None, None], (n_chunks, chunk, *x.shape)),
         state0,
     )
-    states, _ = run(states, mpa_t, sc_t)
+    states, _ = _compile_with_retry(run, states, mpa_t, sc_t)
     float(jnp.sum(states.pose))
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -167,7 +174,7 @@ def _device_p95(cfg, mpa_t, sc_t, n_chains=10):
 
     run = jax.jit(make_run(cfg))
     state = initial_state(sc_t, cfg.Hp)
-    state, _ = run(state, mpa_t, sc_t)
+    state, _ = _compile_with_retry(run, state, mpa_t, sc_t)
     float(jnp.sum(state.pose))                      # compile + sync
     samples = []
     for _ in range(n_chains):
@@ -382,7 +389,9 @@ def _latency(cfg, mpa_t, sc_t, n_steps=30):
         lambda st, kk, m, sc: make_prioritized_step(cfg, m, sc)(st, kk)
     )
     st = initial_state(sc_t, cfg.Hp)
-    st2, _ = step(st, jnp.asarray(0, dtype=jnp.int32), mpa_t, sc_t)
+    st2, _ = _compile_with_retry(
+        step, st, jnp.asarray(0, dtype=jnp.int32), mpa_t, sc_t
+    )
     float(jnp.sum(st2.pose))                        # compile + sync
     lat = []
     for k in range(n_steps):
