@@ -499,34 +499,73 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
 # ---------------------------------------------------------------------------
 
 
-def compact_schedule(levels: jax.Array, c_chunk: int):
-    """Compact-level planning schedule: rows of up-to-``c_chunk``
-    same-level vehicle indices, ordered by (level, vehicle index).
+def compact_schedule(levels: jax.Array, c_chunk: int,
+                     sequential: jax.Array | None = None):
+    """Compact planning schedule: rows of up-to-``c_chunk`` vehicle
+    indices; planning rows in order respects the DAG while planning each
+    vehicle exactly once (vs the dense N*L sweep).
 
     levels [N] (1-based Kahn levels) -> (schedule [N, c_chunk] i32 with
-    -1 padding, n_chunks scalar). Every vehicle appears exactly once;
-    a chunk never mixes levels, and chunks are emitted in level order —
-    so planning chunk rows sequentially respects the DAG schedule while
-    planning each vehicle exactly once (vs the dense N*L sweep).
+    -1 padding, n_chunks scalar).
+
+    Without ``sequential``: level-grouped — a chunk never mixes levels.
+    With ``sequential`` [N, N] (the cut DAG): DATAFLOW list scheduling —
+    each vehicle, visited in (level, index) order, lands in the earliest
+    chunk after all its sequential predecessors with a free slot. Chunks
+    may then mix levels, which shrinks the chunk count toward
+    ceil(N / c_chunk) (level grouping pads every odd-sized level).
+    Results are identical either way: a vehicle's obstacle masks select
+    exactly its predecessors' rows, all planned in earlier chunks, and
+    masked rows never contribute regardless of content. Fewer chunks
+    matter twice — directly in step latency, and under ``vmap`` where
+    every rollout lane executes the WORST lane's chunk count.
     """
     n = levels.shape[0]
     order = jnp.argsort(
         levels * jnp.int32(n + 1) + jnp.arange(n, dtype=jnp.int32)
     )                                                # (level, index)
-    lev_sorted = levels[order]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([
-        jnp.ones((1,), dtype=bool),
-        lev_sorted[1:] != lev_sorted[:-1],
-    ])
-    level_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
-    r = pos - level_start
-    new_chunk = is_start | (r % c_chunk == 0)
-    chunk_id = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
-    n_chunks = chunk_id[-1] + 1
-    slot = r % c_chunk
+    if sequential is None:
+        lev_sorted = levels[order]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        is_start = jnp.concatenate([
+            jnp.ones((1,), dtype=bool),
+            lev_sorted[1:] != lev_sorted[:-1],
+        ])
+        level_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
+        r = pos - level_start
+        new_chunk = is_start | (r % c_chunk == 0)
+        chunk_id = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
+        n_chunks = chunk_id[-1] + 1
+        slot = r % c_chunk
+        schedule = jnp.full((n, c_chunk), -1, dtype=jnp.int32
+                            ).at[chunk_id, slot].set(order)
+        return schedule, n_chunks
+
+    cand = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, carry):
+        chunk_of, slots_used, slot_of = carry
+        v = order[i]
+        # sequential predecessors have strictly lower level, hence are
+        # already placed when v is visited (order is by level)
+        preds = sequential[:, v]
+        earliest = jnp.max(jnp.where(preds, chunk_of + 1, 0))
+        ok = (cand >= earliest) & (slots_used < c_chunk)
+        t = jnp.argmax(ok)                           # first free chunk
+        chunk_of = chunk_of.at[v].set(t)
+        slot_of = slot_of.at[v].set(slots_used[t])
+        slots_used = slots_used.at[t].add(1)
+        return chunk_of, slots_used, slot_of
+
+    chunk_of, _, slot_of = jax.lax.fori_loop(
+        0, n, body,
+        (jnp.full((n,), -1, dtype=jnp.int32),
+         jnp.zeros((n,), dtype=jnp.int32),
+         jnp.zeros((n,), dtype=jnp.int32)),
+    )
+    n_chunks = jnp.max(chunk_of) + 1
     schedule = jnp.full((n, c_chunk), -1, dtype=jnp.int32
-                        ).at[chunk_id, slot].set(order)
+                        ).at[chunk_of, slot_of].set(cand)
     return schedule, n_chunks
 
 
@@ -899,7 +938,9 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 # per iteration while wide ones plan mostly padding
                 # whenever level sizes run below the chunk width
                 c_chunk = min(n, cfg.level_chunk or 2)
-                schedule, n_chunks = compact_schedule(levels, c_chunk)
+                schedule, n_chunks = compact_schedule(
+                    levels, c_chunk, sequential
+                )
 
                 def chunk_body(carry):
                     ci, planned, planned_shapes, obs_seen = carry

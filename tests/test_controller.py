@@ -222,3 +222,42 @@ class TestCompactSchedule:
                 # chunks in nondecreasing level order
                 assert row_levels[0] >= prev_level
                 prev_level = row_levels[0]
+
+    def test_dataflow_schedule_random_dags(self):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.controller import compact_schedule
+        from pdmpc_tpu.parallel.graph import kahn_levels
+
+        rng = np.random.default_rng(11)
+        for trial in range(50):
+            n = int(rng.integers(2, 24))
+            c = int(rng.integers(1, n + 1))
+            # random DAG: edges only from lower to higher index
+            dag = np.triu(rng.random((n, n)) < 0.25, k=1)
+            levels, _ = kahn_levels(jnp.asarray(dag))
+            levels = np.asarray(levels)
+            sched, n_chunks = compact_schedule(
+                jnp.asarray(levels, dtype=jnp.int32), c, jnp.asarray(dag)
+            )
+            sched = np.asarray(sched)
+            n_chunks = int(n_chunks)
+            used = sched[:n_chunks]
+            flat = used[used >= 0]
+            # every vehicle exactly once
+            assert sorted(flat.tolist()) == list(range(n)), (n, c)
+            assert (sched[n_chunks:] == -1).all()
+            chunk_of = np.full(n, -1)
+            for t, row in enumerate(used):
+                for v in row[row >= 0]:
+                    chunk_of[v] = t
+            # every sequential predecessor planned strictly earlier
+            for p, v in zip(*np.nonzero(dag)):
+                assert chunk_of[p] < chunk_of[v], (n, c, p, v)
+            # never more chunks than the level-grouped schedule
+            _, n_level = compact_schedule(
+                jnp.asarray(levels, dtype=jnp.int32), c
+            )
+            assert n_chunks <= int(n_level)
+            # and never fewer than the work/width lower bound
+            assert n_chunks >= -(-n // c)
