@@ -51,8 +51,16 @@ STANDSTILL_SPEED = 0.01
 # Reference: ReachableSetCoupler.m:45
 COUPLING_AREA_THRESHOLD = 1e-3
 # Cap on predicted lanelets per vehicle per step (get_predicted_lanelets.m
-# yields ~2-4 lanelets at Hp=6 on the CPM map; 8 is a safe static bound)
+# yields ~2-4 lanelets at Hp=6 on the CPM map; 8 is a safe static bound
+# for the default horizon). The `ids` fed to the unique-compaction have
+# Hp+1 entries, so long horizons must WIDEN the cap — jnp.unique would
+# silently drop the largest lanelet ids and their boundary segments
+# would never constrain the search. Use _n_predicted_lanelets(hp).
 N_PREDICTED_LANELETS = 8
+
+
+def _n_predicted_lanelets(hp: int) -> int:
+    return max(N_PREDICTED_LANELETS, hp + 1)
 
 
 class StepState(NamedTuple):
@@ -395,7 +403,12 @@ def _solve_optimal(cfg: Config, comm, solve, adjacency):
     )
     planned_s, shapes_s, seq_s, levels_s = stacked
 
-    cost_l = planned_s.cost + _EXHAUSTED_PENALTY * planned_s.is_exhausted
+    # exhausted plans carry cost = inf; clamp to the finite penalty so a
+    # permutation with one exhausted vehicle compares by HOW MANY vehicles
+    # exhausted rather than going uniformly infinite
+    cost_l = jnp.where(
+        planned_s.is_exhausted, _EXHAUSTED_PENALTY, planned_s.cost
+    )
     cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
     # solution-cost voting: sum over vehicles (= the SolutionCost
     # all-reduce), rounded to 8 decimals like
@@ -451,9 +464,18 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
     planned_s, shapes_s, seq_s, levels_s = stacked
     del levels_s
 
-    cost_l = planned_s.cost + _EXHAUSTED_PENALTY * planned_s.is_exhausted
+    # exhausted plans carry cost = inf; clamp to the finite penalty BEFORE
+    # the vote — inf would turn the subgraph matmul into NaN (inf * 0 in
+    # the one-hot contraction) and poison every OTHER subgraph's argmin
+    cost_l = jnp.where(
+        planned_s.is_exhausted, _EXHAUSTED_PENALTY, planned_s.cost
+    )
     cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
-    # per-subgraph cost voting (the SolutionCost exchange per subgraph)
+    # per-subgraph cost voting (the SolutionCost exchange per subgraph);
+    # like the reference, subgraphs are the weak components of the CUT
+    # sequential graph (PrioritizedExplorativeController.m:206), so
+    # coupled-but-cut pairs across components rely on reachable-set
+    # avoidance, not on a shared permutation
     onehot = (
         belonging[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
     ).astype(cost_g.dtype)                              # [N, N-labels]
@@ -657,7 +679,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                     )
                     cur = jnp.where(hdv, closest, cur)
                 ids = jnp.concatenate([cur[None], lane_of[seg_i]])
-                uids = jnp.unique(ids, size=N_PREDICTED_LANELETS,
+                uids = jnp.unique(ids, size=_n_predicted_lanelets(hp),
                                   fill_value=0)
                 segs = scenario.road.boundary_segments[uids]
                 mask = scenario.road.boundary_seg_mask[uids]
@@ -713,21 +735,29 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
 
         # ---- HDV reachability (computed locally before the exchange) ----
         # human-driven vehicles do not plan; CAVs avoid their
-        # (non-recursive) reachable sets (HighLevelController.m:394-447)
+        # (non-recursive) reachable sets (HighLevelController.m:394-447).
+        # Statically gated: the hdv_rs family is only consumed when
+        # manual control is active, and an HDV-free run must not pay the
+        # per-vehicle corridor clipping nor the extra collective payload.
+        use_hdv = cfg.manual_control_config.is_active
         is_hdv_g = scenario.is_hdv
         is_hdv_l = comm.local_slice(is_hdv_g)
-        hdv_rs = jax.vmap(
-            lambda p, t: geo.transform_polygon(
-                mpa.local_reachable_sets_hdv[t], p[0], p[1], p[2]
-            )
-        )(state.pose, state.trim)                        # [nl, Hp, K, 2]
-        if corridor_rings is not None:
-            # lane-bounded HDV reachability: the HDV's reachable sets are
-            # clipped to its predicted-lanelet corridor
-            # (ManualVehicle.compute_reachable_lane, ManualVehicle.m:30-49)
-            hdv_rs = jax.vmap(bound_vehicle)(
-                hdv_rs, corridor_rings, bnd_segs, bnd_mask
-            )
+        if use_hdv:
+            hdv_rs = jax.vmap(
+                lambda p, t: geo.transform_polygon(
+                    mpa.local_reachable_sets_hdv[t], p[0], p[1], p[2]
+                )
+            )(state.pose, state.trim)                    # [nl, Hp, K, 2]
+            if corridor_rings is not None:
+                # lane-bounded HDV reachability: the HDV's reachable sets
+                # are clipped to its predicted-lanelet corridor
+                # (ManualVehicle.compute_reachable_lane,
+                # ManualVehicle.m:30-49)
+                hdv_rs = jax.vmap(bound_vehicle)(
+                    hdv_rs, corridor_rings, bnd_segs, bnd_mask
+                )
+        else:
+            hdv_rs = jnp.zeros((nl, 0, 0, 2))
 
         # ---- traffic exchange (the Traffic-topic message + barrier) ------
         # every per-vehicle field rides ONE fused all_gather, like the
@@ -741,7 +771,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                 (pred_lanelets if pred_lanelets is not None
                  else jnp.zeros((nl, 0), dtype=jnp.int32)),
             ))
-        hdv_rs_g = pad_polys_to_vo(hdv_rs_g)
+        hdv_rs_g = pad_polys_to_vo(hdv_rs_g) if use_hdv else None
 
         # ---- coupling graph (replicated: same inputs on every shard) -----
         adjacency = _couple(
@@ -1154,37 +1184,40 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
         final_cost = choose(planned.cost, ss_cost, fb_cost, 0)
 
         # HDVs follow their reference path (the lab's human input; in
-        # simulation the scripted path stands in, ManualVehicle.m)
-        hdv_yaws = jax.vmap(_calculate_yaw)(ref_points)  # [nl, Hp]
-        hdv_poses = jnp.concatenate(
-            [ref_points, hdv_yaws[..., None]], axis=-1
-        )
-        # trim with the closest straight speed to the reference speed
-        ref_speed_l = scenario.reference_speed[gidx]
-        speed_dist = jnp.where(
-            (jnp.abs(mpa.trim_steering) < 1e-9)[None, :],
-            jnp.abs(mpa.trim_speed[None, :] - ref_speed_l[:, None]),
-            jnp.inf,
-        )
-        hdv_trim = jnp.argmin(speed_dist, axis=-1).astype(jnp.int32)
-        hdv_shapes = jax.vmap(
-            jax.vmap(lambda p: _occupied_area(p, cfg.offset))
-        )(hdv_poses)                                     # [nl, Hp, 4, 2]
-        final_poses = jnp.where(
-            is_hdv_l[:, None, None], hdv_poses, final_poses
-        )
-        final_trims = jnp.where(
-            is_hdv_l[:, None], jnp.broadcast_to(hdv_trim[:, None], (nl, hp)),
-            final_trims,
-        )
-        final_shapes = jnp.where(
-            is_hdv_l[:, None, None, None],
-            jnp.broadcast_to(
-                pad_polys_to_vo(hdv_shapes), (nl, hp, VO, 2)
-            ),
-            final_shapes,
-        )
-        fallbacks = fallbacks & ~is_hdv_l
+        # simulation the scripted path stands in, ManualVehicle.m) —
+        # statically gated like the rest of the HDV machinery
+        if use_hdv:
+            hdv_yaws = jax.vmap(_calculate_yaw)(ref_points)  # [nl, Hp]
+            hdv_poses = jnp.concatenate(
+                [ref_points, hdv_yaws[..., None]], axis=-1
+            )
+            # trim with the closest straight speed to the reference speed
+            ref_speed_l = scenario.reference_speed[gidx]
+            speed_dist = jnp.where(
+                (jnp.abs(mpa.trim_steering) < 1e-9)[None, :],
+                jnp.abs(mpa.trim_speed[None, :] - ref_speed_l[:, None]),
+                jnp.inf,
+            )
+            hdv_trim = jnp.argmin(speed_dist, axis=-1).astype(jnp.int32)
+            hdv_shapes = jax.vmap(
+                jax.vmap(lambda p: _occupied_area(p, cfg.offset))
+            )(hdv_poses)                                 # [nl, Hp, 4, 2]
+            final_poses = jnp.where(
+                is_hdv_l[:, None, None], hdv_poses, final_poses
+            )
+            final_trims = jnp.where(
+                is_hdv_l[:, None],
+                jnp.broadcast_to(hdv_trim[:, None], (nl, hp)),
+                final_trims,
+            )
+            final_shapes = jnp.where(
+                is_hdv_l[:, None, None, None],
+                jnp.broadcast_to(
+                    pad_polys_to_vo(hdv_shapes), (nl, hp, VO, 2)
+                ),
+                final_shapes,
+            )
+            fallbacks = fallbacks & ~is_hdv_l
 
         # ---- apply (Simulation.apply, plant/Simulation.m:86-117) ----------
         new_state = StepState(
@@ -1291,7 +1324,7 @@ def make_centralized_step(cfg: Config, mpa: MpaTensors,
                 ids = jnp.concatenate(
                     [lane_of[proj_i][None], lane_of[seg_i]]
                 )
-                uids = jnp.unique(ids, size=N_PREDICTED_LANELETS,
+                uids = jnp.unique(ids, size=_n_predicted_lanelets(hp),
                                   fill_value=0)
                 segs = scenario.road.boundary_segments[uids]
                 mask = scenario.road.boundary_seg_mask[uids]

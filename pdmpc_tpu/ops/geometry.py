@@ -337,9 +337,15 @@ def polygon_bbox(poly):
 
 
 def bboxes_overlap(b1, b2):
-    """Quick prefilter. Reference: ReachableSetCoupler.m:34."""
+    """Quick prefilter. Reference: ReachableSetCoupler.m:34.
+
+    INCLUSIVE on touch (touching boxes overlap), matching
+    pallas_collision._bbox_overlap and the SAT convention (touching
+    polygons collide) — a prefilter that excluded exact touches would
+    drop couplings the full test reports.
+    """
     return ~(
-        (b1[0] >= b2[1]) | (b1[2] >= b2[3]) | (b1[1] <= b2[0]) | (b1[3] <= b2[2])
+        (b1[0] > b2[1]) | (b1[2] > b2[3]) | (b1[1] < b2[0]) | (b1[3] < b2[2])
     )
 
 

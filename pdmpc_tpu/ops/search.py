@@ -766,14 +766,20 @@ def plan_trajectory_sampled(
 
         alive = alive & any_allowed & ~collide
         new_pose = jnp.stack([child_x, child_y, child_yaw], axis=-1)
-        return (new_pose, child_trim, g, alive), (new_pose, child_trim)
+        # feasible edge evaluations this layer (PlanResult.n_expanded
+        # semantics shared with the beam search: expansions over all
+        # layers, not rollouts surviving to the leaf)
+        n_exp_k = jnp.sum(alive.astype(jnp.int32))
+        return (new_pose, child_trim, g, alive), (new_pose, child_trim,
+                                                  n_exp_k)
 
     ks = jnp.arange(hp)
-    (pose_f, trim_f, g_f, alive_f), (poses_l, trims_l) = jax.lax.scan(
-        layer,
-        (pose0, trim_r, g0, alive0),
-        (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step, keys),
-    )
+    (pose_f, trim_f, g_f, alive_f), (poses_l, trims_l, n_exp_l) = \
+        jax.lax.scan(
+            layer,
+            (pose0, trim_r, g0, alive0),
+            (ks, mpa.transition, obs_polys_by_step, obs_mask_by_step, keys),
+        )
     del pose_f, trim_f, va
 
     leaf_score = jnp.where(alive_f, g_f, jnp.inf)
@@ -801,5 +807,5 @@ def plan_trajectory_sampled(
         shapes=shapes,
         cost=cost,
         is_exhausted=is_exhausted,
-        n_expanded=jnp.sum(alive_f).astype(jnp.int32),
+        n_expanded=jnp.sum(n_exp_l).astype(jnp.int32),
     )

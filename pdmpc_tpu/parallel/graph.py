@@ -212,21 +212,28 @@ def greedy_cut(weighted_directed: jax.Array, max_num_cls: int,
 
     Returns directed_coupling_sequential [N, N] bool.
     """
-    directed = weighted_directed > 0.0
+    # edge existence is weight != 0, like the reference's find() on the
+    # weighted matrix (GreedyCutter.m:47): distance weights go NEGATIVE
+    # for coupled pairs beyond d_max (full coupling), and those edges
+    # must stay sequentializable — only exact-zero weights are non-edges
+    # (also reference behavior; the weighers emit 0 only for non-edges
+    # up to a measure-zero random draw)
+    directed = weighted_directed != 0.0
     if max_num_cls >= n_vehicles:
         return directed
     n = weighted_directed.shape[0]
     if max_num_cls <= 1:
         return jnp.zeros_like(directed)
 
-    # edges in descending weight order (padded with zero-weight non-edges)
+    # edges in descending weight order; non-edges (exactly 0) sort between
+    # positive and negative edges and are skipped by the is_edge guard
     flat_w = weighted_directed.reshape(-1)
     order = jnp.argsort(-flat_w, stable=True)
 
     def body(i, seq):
         e = order[i]
         r, c = e // n, e % n
-        is_edge = flat_w[e] > 0.0
+        is_edge = flat_w[e] != 0.0
         candidate = seq.at[r, c].set(True)
         levels, _ = kahn_levels(candidate)
         ok = is_edge & (jnp.max(levels) <= max_num_cls)

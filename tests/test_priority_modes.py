@@ -98,3 +98,71 @@ class TestExplorativePriority:
             )
         )
         assert np.asarray(res.infos.poses).shape[1] == 8
+
+
+class TestExplorativeVoteNumerics:
+    """The per-subgraph vote must stay finite when a permutation leaves a
+    vehicle exhausted (cost = inf): inf * 0 in the one-hot vote matmul is
+    NaN and argmin over NaN rows picks an arbitrary permutation."""
+
+    def test_exhausted_cost_does_not_poison_other_subgraphs(self):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.config import Config, ScenarioType
+        from pdmpc_tpu.controller import _solve_explorative
+        from pdmpc_tpu.ops.search import PlanResult
+        from pdmpc_tpu.parallel.comm import LocalComm
+
+        n, hp, vo = 4, 1, 16
+        cfg = Config(
+            scenario_type=ScenarioType.circle, amount=n, max_num_CLs=2
+        )
+        comm = LocalComm(n)
+        # two independent chains: 0 -> 1 and 2 -> 3
+        sequential0 = jnp.zeros((n, n), dtype=bool
+                                ).at[0, 1].set(True).at[2, 3].set(True)
+        directed = sequential0
+        levels0 = jnp.asarray([1, 2, 1, 2], dtype=jnp.int32)
+
+        # solve is traced once inside the permutation scan, so the fake
+        # costs are a traced function of the permutation's orientation:
+        # permutation 1 flips 0->1 to 1->0. Permutation 0 leaves vehicle 1
+        # EXHAUSTED (cost = inf).
+        def solve(directed_p):
+            is_p1 = directed_p[1, 0]
+            cost = jnp.where(
+                is_p1,
+                jnp.asarray([2.0, 2.0, 1.0, 1.0]),
+                jnp.asarray([1.0, jnp.inf, 5.0, 5.0]),
+            )
+            exh = jnp.where(
+                is_p1,
+                jnp.zeros((n,), dtype=bool),
+                jnp.asarray([False, True, False, False]),
+            )
+            planned = PlanResult(
+                trims=jnp.zeros((n, hp), dtype=jnp.int32),
+                poses=jnp.zeros((n, hp, 3)),
+                shapes=jnp.zeros((n, hp, 5, 2)),
+                cost=cost,
+                is_exhausted=exh,
+                n_expanded=jnp.zeros((n,), dtype=jnp.int32),
+            )
+            shapes_g = jnp.zeros((n, hp, vo, 2))
+            seq = directed_p
+            levels = jnp.where(
+                is_p1,
+                jnp.asarray([2, 1, 2, 1], dtype=jnp.int32),
+                jnp.asarray([1, 2, 1, 2], dtype=jnp.int32),
+            )
+            return planned, shapes_g, seq, levels
+
+        (planned, shapes_g, sequential, levels, priorities, directed_comb,
+         chosen) = _solve_explorative(
+            cfg, comm, solve, directed, sequential0, levels0, 2
+        )
+        chosen = np.asarray(chosen)
+        # both subgraphs prefer permutation 1 (finite, lower totals);
+        # with NaN poisoning the argmin would land on permutation 0
+        np.testing.assert_array_equal(chosen, [1, 1, 1, 1])
+        assert np.isfinite(np.asarray(planned.cost)).all()
