@@ -48,15 +48,21 @@ def main() -> None:
     from pdmpc_tpu.experiment import run_experiment
     from tests.golden import save_golden
     from tests.test_matrix import MATRIX_CONFIGS
-    from tests.test_system_commonroad import GOLDEN_CONFIGS
+    from tests.test_system_commonroad import (
+        GOLDEN_CONFIGS,
+        TPU_GOLDEN_CONFIGS,
+    )
 
-    all_configs = {**GOLDEN_CONFIGS, **MATRIX_CONFIGS}
+    all_configs = {**GOLDEN_CONFIGS, **MATRIX_CONFIGS, **TPU_GOLDEN_CONFIGS}
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
     if "matrix" in only:
         only.remove("matrix")
         only.extend(MATRIX_CONFIGS)
-    names = (["commonroad_03veh"] if tpu_mode else
-             (only or list(all_configs)))
+    names = (
+        (only or ["commonroad_03veh", *TPU_GOLDEN_CONFIGS]) if tpu_mode
+        else (only or [n for n in all_configs
+                       if n not in TPU_GOLDEN_CONFIGS])
+    )
     for name in names:
         print(f"running {name} ...")
         result = run_experiment(all_configs[name])

@@ -9,7 +9,12 @@ on-road, deadlock-free, and deterministic.
 import numpy as np
 import pytest
 
-from pdmpc_tpu.config import Config, MpaType, ScenarioType
+from pdmpc_tpu.config import (
+    Config,
+    MpaType,
+    PriorityStrategies,
+    ScenarioType,
+)
 from pdmpc_tpu.experiment import create_scenario, run_experiment
 from pdmpc_tpu.models.mpa import build_mpa
 from tests.golden import compare_golden, vehicle_centers_offroad
@@ -50,6 +55,20 @@ GOLDEN_CONFIGS = {
     "mixed_16veh": Config(
         scenario_type=ScenarioType.mixed, amount=16, T_end=1.0,
         beam_width=64,
+    ),
+}
+
+# TPU-only goldens (generated with `python -m tests.replace_expected_results
+# --tpu`, checked by bench._golden_crosscheck on the device): the bench
+# HEADLINE configuration — cr20 with coloring priorities at beam 256 — so a
+# numeric drift on the coloring path cannot reach the published headline
+# unflagged (the reference gates every mode through the same goldens,
+# tests/systemtests/systemtests.m:3-14). The cr3 constant-priority TPU
+# golden lives in GOLDEN_CONFIGS["commonroad_03veh"].
+TPU_GOLDEN_CONFIGS = {
+    "commonroad_20veh_coloring": Config(
+        scenario_type=ScenarioType.commonroad, amount=20, T_end=4.0,
+        beam_width=256, priority=PriorityStrategies.coloring_priority,
     ),
 }
 
