@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pdmpc_tpu.config import (
     Config,
@@ -318,111 +319,164 @@ def _weigh(cfg: Config, directed, poses, k, max_mpa_speed):
 _EXHAUSTED_PENALTY = 1e9
 
 
-def _all_permutations_device(n: int) -> jax.Array:
-    """All N! permutations of 1..n as a device computation [n!, n].
-
-    Lehmer-code decode from ``jnp.arange(n!)`` — computed on device instead
-    of embedding an n! x n literal table, which would make TPU compilation
-    pathologically slow (embedded array constants hit a slow compile path).
-    """
-    import math
-
-    f = math.factorial(n)
-    idx = jnp.arange(f, dtype=jnp.int32)
-    remaining_mask = jnp.ones((f, n), dtype=bool)
-    perm = jnp.zeros((f, n), dtype=jnp.int32)
-    rem = idx
-    for j in range(n):
-        fac = math.factorial(n - 1 - j)
-        d = rem // fac                                   # [F] 0..n-1-j
-        rem = rem % fac
-        # pick the d-th still-unused value per row
-        cum = jnp.cumsum(remaining_mask, axis=1) - 1     # rank among unused
-        pick = remaining_mask & (cum == d[:, None])      # one-hot [F, n]
-        value = jnp.argmax(pick, axis=1).astype(jnp.int32)
-        perm = perm.at[:, j].set(value + 1)
-        remaining_mask = remaining_mask & ~pick
-    return perm
-
-
 def _solve_optimal(cfg: Config, comm, solve, adjacency):
-    """optimal_priority: solve every topologically-unique priority
-    permutation of the coupling graph and adopt the global-cost minimizer.
+    """optimal_priority: enumerate the acyclic edge orientations of each
+    connected coupling subgraph and adopt the per-subgraph cost minimizer.
 
     Reference: PrioritizedOptimalController.m + Prioritizer.unique_priorities
-    (:97-140). The reference enumerates 2^edges edge orientations at run
-    time; here the static candidate set is all N! priority permutations,
-    deduplicated on device by their induced orientation — the same set of
-    acyclic orientations. Like the reference (which skips optimal priority
-    beyond a handful of vehicles, eval_experiments.m:60-66) this is only
-    tractable for small fleets; N <= 6 is enforced.
+    (:97-140). The reference enumerates the 2^edges orientations of the
+    runtime coupling graph; tractability therefore depends on coupling
+    SPARSITY, not fleet size (eval_experiments.m:60-66 skips only dense
+    configurations). This implementation keeps that envelope under static
+    shapes: every unordered coupled pair gets a bit index equal to its edge
+    rank WITHIN its weakly-connected component (components share bit
+    positions — they are independent), and candidate row ``p`` of the
+    static [P, N, N] stack orients each edge by the corresponding bit of
+    ``p``. P = 2^e_cap with e_cap = floor(log2(max_priority_permutations)),
+    so a component with up to e_cap coupling edges has ALL of its
+    orientations present in the stack. Cyclic orientations are masked out
+    of the vote per component (the all-forward row p = 0 is always
+    acyclic, so every component has a valid candidate).
+
+    The vote is the SolutionCost all-reduce, per weakly-connected
+    component: costs are additive over vehicles and components share no
+    coupling edges, so the per-component argmin equals the reference's
+    global argmin (PrioritizedOptimalController.m:104) while needing only
+    max-per-component enumeration instead of the full product.
     """
     n = adjacency.shape[0]
-    if n > 6:
-        raise ValueError(
-            "optimal_priority enumerates all priority permutations and is "
-            f"limited to 6 vehicles (got {n}); use explorative_priority"
+    e_cap = max(1, int(cfg.max_priority_permutations).bit_length() - 1)
+    p_cnt = 1 << e_cap
+
+    belonging = graph_ops.weak_components(adjacency)     # [N]
+    iu, ju = np.triu_indices(n, 1)                       # static pair slots
+    iu = jnp.asarray(iu, dtype=jnp.int32)
+    ju = jnp.asarray(ju, dtype=jnp.int32)
+    edge_present = adjacency[iu, ju]                     # [S] traced
+    edge_comp = belonging[iu]                            # [S]
+    s = iu.shape[0]
+    # rank of each present edge within its component (earlier slots first)
+    same_comp = edge_comp[None, :] == edge_comp[:, None]
+    before = jnp.tril(jnp.ones((s, s), dtype=bool), -1) if s else (
+        jnp.zeros((0, 0), dtype=bool))
+    rank = jnp.sum(same_comp & before & edge_present[None, :], axis=1)
+    bit = (rank % e_cap).astype(jnp.uint32)
+    p_idx = jnp.arange(p_cnt, dtype=jnp.uint32)
+    # bit 0 = forward (i < j): row p = 0 is the all-forward orientation —
+    # the reference's first enumerated candidate (perm_bits = 0 flips no
+    # edge, Prioritizer.unique_priorities:97-140) — so cost TIES resolve
+    # to the same orientation the reference picks, and row 0 is always
+    # acyclic (consistent with the vertex order)
+    forward = (
+        (p_idx[:, None] >> bit[None, :]) & 1
+    ).astype(bool) ^ True                               # [P, S]
+    fwd = forward & edge_present[None, :]
+    bwd = ~forward & edge_present[None, :]
+    directed_stack = jnp.zeros((p_cnt, n, n), dtype=bool)
+    if s:
+        directed_stack = directed_stack.at[:, iu, ju].set(fwd)
+        directed_stack = directed_stack.at[:, ju, iu].set(bwd)
+
+    # a component is invalid in row p iff the orientation leaves a cycle
+    # (kahn keeps cycle members at level 0)
+    lv_s, _ = jax.vmap(graph_ops.kahn_levels)(directed_stack)
+    stuck = lv_s == 0                                    # [P, N]
+    labels = jnp.arange(n, dtype=jnp.int32)
+    onehot_b = belonging[:, None] == labels[None, :]     # [N, labels]
+    invalid_pc = jnp.any(stuck[:, :, None] & onehot_b[None], axis=1)
+
+    if jax.default_backend() == "cpu":
+        # a component with more than e_cap edges shares bit positions and
+        # is explored only partially — surface it (the reference
+        # enumerates all 2^edges orientations). debug.print lowers to a
+        # host callback, which the tunneled TPU runtime rejects
+        # (axon_pjrt: no send/recv callbacks) — the warning is a dev/CI
+        # aid; semantics are identical on every backend.
+        edges_per_comp = jnp.sum(
+            edge_present[:, None]
+            & (edge_comp[:, None] == labels[None, :]), axis=0
         )
-    perm_table = _all_permutations_device(n)            # [F, N]
-    f = perm_table.shape[0]
-    orient = adjacency[None] & (
-        perm_table[:, :, None] < perm_table[:, None, :]
-    )                                                   # [F, N, N]
-    # dedupe by induced orientation (first occurrence wins)
-    same = jnp.all(
-        orient[:, None] == orient[None, :], axis=(-1, -2)
-    )                                                   # [F, F]
-    first_same = jnp.argmax(same, axis=1)
-    unique_mask = first_same == jnp.arange(f)
-    p_max = min(cfg.max_priority_permutations, f)
-    order = jnp.argsort(~unique_mask, stable=True)      # uniques first
-    sel = order[:p_max]
-    n_unique = jnp.sum(unique_mask)
-    if p_max < f and jax.default_backend() == "cpu":
-        # max_priority_permutations can silently drop acyclic orientations
-        # on dense graphs — surface it (the reference enumerates all
-        # 2^edges orientations, Prioritizer.unique_priorities:97-140).
-        # debug.print lowers to a host callback, which the tunneled TPU
-        # runtime rejects (axon_pjrt: no send/recv callbacks) — the
-        # warning is a dev/CI aid, so it is CPU-only; the truncation
-        # semantics are identical on every backend.
+        max_edges = jnp.max(edges_per_comp) if s else jnp.asarray(0)
         jax.lax.cond(
-            n_unique > p_max,
+            max_edges > e_cap,
             lambda: jax.debug.print(
-                "WARNING optimal_priority: {n} unique priority "
-                "orientations truncated to max_priority_permutations={p}",
-                n=n_unique, p=p_max, ordered=False,
+                "WARNING optimal_priority: a coupling subgraph has {m} "
+                "edges > e_cap={c}; orientation enumeration is partial "
+                "(raise max_priority_permutations)",
+                m=max_edges, c=e_cap, ordered=False,
             ),
             lambda: None,
         )
-    valid_p = jnp.arange(p_max) < jnp.minimum(n_unique, p_max)
-    directed_stack = orient[sel]                        # [P, N, N]
 
+    return _vote_per_subgraph(comm, solve, directed_stack, belonging,
+                              invalid_pc)
+
+
+def _vote_per_subgraph(comm, solve, directed_stack, belonging, invalid_pc):
+    """Solve every candidate directed coupling and adopt, per
+    weakly-connected subgraph, the cost-minimal candidate.
+
+    The shared voting tail of the optimal and explorative priority modes:
+    the SolutionCost exchange (sum over member vehicles = all-reduce,
+    rounded to 8 decimals like PrioritizedOptimalController.m:104) +
+    per-subgraph winner selection and kept-priority reconstruction
+    (PrioritizedExplorativeController.choose_solution:146-176).
+
+    invalid_pc: [P, n-labels] bool — candidate p is ineligible for the
+    subgraph with that label (cyclic orientation / padding row).
+    """
+    n = directed_stack.shape[1]
     _, stacked = jax.lax.scan(
         lambda carry, d: (carry, solve(d)), None, directed_stack
     )
     planned_s, shapes_s, seq_s, levels_s = stacked
+    del levels_s
 
-    # exhausted plans carry cost = inf; clamp to the finite penalty so a
-    # permutation with one exhausted vehicle compares by HOW MANY vehicles
-    # exhausted rather than going uniformly infinite
+    # exhausted plans carry cost = inf; clamp to the finite penalty BEFORE
+    # the vote — inf would turn the subgraph matmul into NaN (inf * 0 in
+    # the one-hot contraction) and poison every OTHER subgraph's argmin
     cost_l = jnp.where(
         planned_s.is_exhausted, _EXHAUSTED_PENALTY, planned_s.cost
     )
     cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
-    # solution-cost voting: sum over vehicles (= the SolutionCost
-    # all-reduce), rounded to 8 decimals like
-    # PrioritizedOptimalController.m:104
-    totals = jnp.round(jnp.sum(cost_g, axis=0), 8)
-    totals = jnp.where(valid_p, totals, jnp.inf)
-    p_star = jnp.argmin(totals)
+    onehot = (
+        belonging[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+    ).astype(cost_g.dtype)                              # [N, N-labels]
+    # f32 accumulation: the TPU bf16 matmul default would round the vote
+    # sums to ~3 decimal digits and can flip the per-subgraph argmin winner
+    totals = jnp.round(
+        jnp.matmul(cost_g.T, onehot,
+                   precision=jax.lax.Precision.HIGHEST), 8
+    )                                                   # [P, N-labels]
+    totals = jnp.where(invalid_pc, jnp.inf, totals)
+    chosen_per_label = jnp.argmin(totals, axis=0)       # [N-labels]
+    chosen_g = chosen_per_label[belonging]              # [N]
+    chosen_l = comm.local_slice(chosen_g)
 
-    planned = jax.tree.map(lambda x: x[p_star], planned_s)
-    directed_star = directed_stack[p_star]
-    priorities = graph_ops.priorities_from_directed_coupling(directed_star)
-    perm_chosen = jnp.full((comm.n_local,), p_star, dtype=jnp.int32)
-    return (planned, shapes_s[p_star], seq_s[p_star], levels_s[p_star],
-            priorities, directed_star, perm_chosen)
+    nl = comm.n_local
+    planned = jax.tree.map(
+        lambda x: x[chosen_l, jnp.arange(nl)], planned_s
+    )
+    rows = jnp.arange(n)
+    shapes_g = shapes_s[chosen_g, rows]
+    sequential = seq_s[chosen_g, rows]
+    directed_comb = directed_stack[chosen_g, rows]
+    levels, _ = graph_ops.kahn_levels(sequential)
+
+    # winning priorities kept for the next step: rank vehicles by
+    # (subgraph label, level within subgraph, index) — per-subgraph
+    # priorities with offsets (choose_solution, :165-172)
+    key = (
+        belonging.astype(jnp.int32) * (n * n)
+        + levels.astype(jnp.int32) * n
+        + rows
+    )
+    order = jnp.argsort(key)
+    priorities = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
+        jnp.arange(1, n + 1, dtype=jnp.int32)
+    )
+    return (planned, shapes_g, sequential, levels, priorities,
+            directed_comb, chosen_l)
 
 
 def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
@@ -458,62 +512,14 @@ def _solve_explorative(cfg: Config, comm, solve, directed, sequential0,
     )                                                   # [P, N, N]
     valid_p = jnp.arange(l_max) < n_levels
 
-    _, stacked = jax.lax.scan(
-        lambda carry, d: (carry, solve(d)), None, directed_stack
-    )
-    planned_s, shapes_s, seq_s, levels_s = stacked
-    del levels_s
-
-    # exhausted plans carry cost = inf; clamp to the finite penalty BEFORE
-    # the vote — inf would turn the subgraph matmul into NaN (inf * 0 in
-    # the one-hot contraction) and poison every OTHER subgraph's argmin
-    cost_l = jnp.where(
-        planned_s.is_exhausted, _EXHAUSTED_PENALTY, planned_s.cost
-    )
-    cost_g = comm.gather_veh(jnp.swapaxes(cost_l, 0, 1))  # [N, P]
     # per-subgraph cost voting (the SolutionCost exchange per subgraph);
     # like the reference, subgraphs are the weak components of the CUT
     # sequential graph (PrioritizedExplorativeController.m:206), so
     # coupled-but-cut pairs across components rely on reachable-set
     # avoidance, not on a shared permutation
-    onehot = (
-        belonging[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
-    ).astype(cost_g.dtype)                              # [N, N-labels]
-    # f32 accumulation: the TPU bf16 matmul default would round the vote
-    # sums to ~3 decimal digits and can flip the per-subgraph argmin winner
-    totals = jnp.round(
-        jnp.matmul(cost_g.T, onehot,
-                   precision=jax.lax.Precision.HIGHEST), 8
-    )                                                   # [P, N-labels]
-    totals = jnp.where(valid_p[:, None], totals, jnp.inf)
-    chosen_per_label = jnp.argmin(totals, axis=0)       # [N-labels]
-    chosen_g = chosen_per_label[belonging]              # [N]
-    chosen_l = comm.local_slice(chosen_g)
-
-    nl = comm.n_local
-    planned = jax.tree.map(
-        lambda x: x[chosen_l, jnp.arange(nl)], planned_s
-    )
-    rows = jnp.arange(n)
-    shapes_g = shapes_s[chosen_g, rows]
-    sequential = seq_s[chosen_g, rows]
-    directed_comb = directed_stack[chosen_g, rows]
-    levels, _ = graph_ops.kahn_levels(sequential)
-
-    # winning priorities kept for the next step: rank vehicles by
-    # (subgraph label, level within subgraph, index) — per-subgraph
-    # priorities with offsets (choose_solution, :165-172)
-    key = (
-        belonging.astype(jnp.int32) * (n * n)
-        + levels.astype(jnp.int32) * n
-        + rows
-    )
-    order = jnp.argsort(key)
-    priorities = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
-        jnp.arange(1, n + 1, dtype=jnp.int32)
-    )
-    return (planned, shapes_g, sequential, levels, priorities,
-            directed_comb, chosen_l)
+    invalid_pc = jnp.broadcast_to((~valid_p)[:, None], (l_max, n))
+    return _vote_per_subgraph(comm, solve, directed_stack, belonging,
+                              invalid_pc)
 
 
 # ---------------------------------------------------------------------------

@@ -23,8 +23,11 @@ from pdmpc_tpu.utils.filenames import load_latest, results_directory
 DEFAULT_COMMONROAD_SIZES = tuple(range(5, 21))
 DEFAULT_CIRCLE_SIZES = tuple(range(2, 11))
 DEFAULT_SEEDS = (1, 2, 3)
-# optimal priority is skipped beyond this size (eval_experiments.m:60-66)
-OPTIMAL_PRIORITY_MAX_VEHICLES = 4
+# optimal priority is skipped beyond this size in sweeps
+# (eval_experiments.m:60-66); the controller itself now scales with
+# coupling sparsity (per-subgraph orientation enumeration) but dense
+# sweep sizes stay skipped like the reference
+OPTIMAL_PRIORITY_MAX_VEHICLES = 8
 
 
 def eval_experiments(

@@ -57,12 +57,20 @@ class TestOptimalPriority:
         cost_const = np.asarray(const.infos.cost).sum()
         assert cost_opt <= cost_const * 1.05
 
-    def test_rejects_large_fleets(self):
-        with pytest.raises(ValueError, match="limited to 6"):
-            run_experiment(
-                make_cfg(PriorityStrategies.optimal_priority, amount=7,
-                         T_end=0.4)
+    def test_runs_beyond_six_vehicles(self):
+        # the reference's envelope is bounded by coupling sparsity, not
+        # fleet size (Prioritizer.unique_priorities enumerates 2^edges of
+        # the runtime graph); per-subgraph orientation enumeration keeps
+        # that property — an 8-vehicle commonroad fleet must run
+        res = run_experiment(
+            make_cfg(
+                PriorityStrategies.optimal_priority,
+                scenario_type=ScenarioType.commonroad,
+                amount=8, T_end=1.0, beam_width=64,
             )
+        )
+        assert np.asarray(res.infos.poses).shape[1] == 8
+        assert pairwise_vehicle_collisions(res) == []
 
 
 class TestExplorativePriority:
@@ -98,6 +106,119 @@ class TestExplorativePriority:
             )
         )
         assert np.asarray(res.infos.poses).shape[1] == 8
+
+
+class TestOptimalEquivalence:
+    """_solve_optimal's per-subgraph edge-orientation vote must find the
+    same global cost minimum as brute-force enumeration of all
+    topologically-unique priority assignments (unique_priorities_np, the
+    reference's Prioritizer.unique_priorities semantics)."""
+
+    def _run_case(self, adj_np, seed):
+        import jax.numpy as jnp
+
+        from pdmpc_tpu.config import Config, ScenarioType
+        from pdmpc_tpu.controller import _solve_optimal
+        from pdmpc_tpu.ops.search import PlanResult
+        from pdmpc_tpu.parallel import graph as g
+        from pdmpc_tpu.parallel.comm import LocalComm
+
+        n = adj_np.shape[0]
+        rng = np.random.default_rng(seed)
+        # per-ordered-edge cost of "i plans before j": additive over
+        # vehicles and local to each component, like real solution costs
+        w = rng.uniform(0.1, 2.0, size=(n, n))
+
+        def cost_of_directed(d):
+            return (np.asarray(d, dtype=float) * w).sum(axis=1)
+
+        def solve(directed_p):
+            cost = jnp.sum(
+                directed_p.astype(jnp.float32) * jnp.asarray(w, jnp.float32),
+                axis=1,
+            )
+            hp, vo = 1, 16
+            planned = PlanResult(
+                trims=jnp.zeros((n, hp), dtype=jnp.int32),
+                poses=jnp.zeros((n, hp, 3)),
+                shapes=jnp.zeros((n, hp, 5, 2)),
+                cost=cost.astype(jnp.float64)
+                if cost.dtype == jnp.float64 else cost,
+                is_exhausted=jnp.zeros((n,), dtype=bool),
+                n_expanded=jnp.zeros((n,), dtype=jnp.int32),
+            )
+            shapes_g = jnp.zeros((n, hp, vo, 2))
+            levels, _ = g.kahn_levels(directed_p)
+            return planned, shapes_g, directed_p, levels
+
+        cfg = Config(scenario_type=ScenarioType.circle, amount=max(n, 2),
+                     max_priority_permutations=16)
+        comm = LocalComm(n)
+        planned, _, _, _, priorities, directed_comb, _ = _solve_optimal(
+            cfg, comm, solve, jnp.asarray(adj_np)
+        )
+        achieved = float(np.asarray(planned.cost).sum())
+
+        # brute force over all topologically-unique priority assignments
+        best = np.inf
+        for prio in g.unique_priorities_np(adj_np):
+            d = adj_np & (prio[:, None] < prio[None, :])
+            best = min(best, cost_of_directed(d).sum())
+        np.testing.assert_allclose(achieved, best, rtol=1e-5)
+        # the adopted combined orientation must be acyclic and consistent
+        # with the kept priorities
+        pr = np.asarray(priorities)
+        d = np.asarray(directed_comb)
+        assert sorted(pr.tolist()) == list(range(1, n + 1))
+        ii, jj = np.nonzero(d)
+        assert (pr[ii] < pr[jj]).all()
+
+    def test_two_components_with_cycle_candidates(self):
+        # component {0,1,2} is a triangle (2 of 8 orientation bitmasks are
+        # cyclic and must be masked from the vote); component {3,4,5,6} is
+        # a path; vehicle 7 is isolated
+        n = 8
+        adj = np.zeros((n, n), dtype=bool)
+        for i, j in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (5, 6)]:
+            adj[i, j] = adj[j, i] = True
+        for seed in range(5):
+            self._run_case(adj, seed)
+
+    def test_random_sparse_graphs(self):
+        rng = np.random.default_rng(0)
+        for trial in range(8):
+            n = int(rng.integers(2, 8))
+            adj = np.zeros((n, n), dtype=bool)
+            # sparse: ~n edges, keeps every component within the 4-bit cap
+            for _ in range(n):
+                i, j = rng.integers(0, n, size=2)
+                if i != j:
+                    adj[i, j] = adj[j, i] = True
+            # skip graphs where some component exceeds the e_cap=4 budget
+            # (partial enumeration is allowed to be suboptimal there)
+            comp = _components_np(adj)
+            edges = np.triu(adj, 1)
+            ok = True
+            for c in set(comp):
+                members = comp == c
+                if edges[np.ix_(members, members)].sum() > 4:
+                    ok = False
+            if not ok:
+                continue
+            self._run_case(adj, 100 + trial)
+
+
+def _components_np(adj):
+    n = adj.shape[0]
+    labels = np.arange(n)
+    for _ in range(n):
+        for i in range(n):
+            nb = np.nonzero(adj[i])[0]
+            if nb.size:
+                m = min(labels[i], labels[nb].min())
+                labels[i] = m
+                labels[nb] = np.minimum(labels[nb], m)
+    return labels
 
 
 class TestExplorativeVoteNumerics:
