@@ -1,17 +1,68 @@
-"""Worker process for the 2-process jax.distributed test.
+"""Worker process for the multi-process jax.distributed tests.
 
 Run by tests/test_multihost.py:
 
-    python -m tests._multihost_worker <coordinator> <num_procs> <pid>
+    python -m tests._multihost_worker <coordinator> <num_procs> <pid> \
+        [scenario] [local_devices]
 
 Plays the role of one NUC in the reference's parallel_physically mode
 (nuc_control/deploy_nuc.sh:17 launches main_distributed(i) per host);
 here every host runs the same sharded program over the global mesh.
+Per-collective timings (the ``receive_from_others`` span analogue,
+ControllerTiming.m) are measured over the actual cross-process mesh and
+saved into the per-worker result file.
 """
 
 from __future__ import annotations
 
 import sys
+import time
+
+
+def _time_collectives(mesh, n_iters: int = 20) -> dict:
+    """Time the two collectives the controller step rides on, over the
+    REAL process-spanning mesh axes: the per-level Predictions all_gather
+    (vehicle axis) and the SolutionCost psum. Reference: the
+    receive_from_others / publish_predictions spans of ControllerTiming.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pdmpc_tpu.parallel.sharded import shard_map
+
+    n_veh_shards = mesh.shape["vehicle"]
+
+    @jax.jit
+    def gather_once(x):
+        def f(xl):
+            return jax.lax.all_gather(xl, "vehicle", tiled=True)
+
+        return shard_map(f, mesh=mesh, in_specs=P(None, "vehicle"),
+                         out_specs=P(None, None), check_vma=False)(x)
+
+    @jax.jit
+    def psum_once(x):
+        def f(xl):
+            return jax.lax.psum(xl, "vehicle")
+
+        return shard_map(f, mesh=mesh, in_specs=P(None, "vehicle"),
+                         out_specs=P(None, None), check_vma=False)(x)
+
+    x = jnp.ones((4, n_veh_shards * 16), dtype=jnp.float32)
+    out = {}
+    for name, fn in (("all_gather_vehicle", gather_once),
+                     ("psum_vehicle", psum_once)):
+        r = fn(x)
+        r.block_until_ready()                       # compile
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            r = fn(x)
+        r.block_until_ready()
+        out[f"{name}_ms"] = round(
+            (time.perf_counter() - t0) / n_iters * 1e3, 4
+        )
+    return out
 
 
 def main() -> int:
@@ -19,11 +70,12 @@ def main() -> int:
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     )
     scenario_type = sys.argv[4] if len(sys.argv) > 4 else "circle"
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_num_cpu_devices", local_devices)
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     from pdmpc_tpu.parallel.multihost import initialize_distributed
@@ -32,8 +84,10 @@ def main() -> int:
     assert jax.process_count() == num_procs
     n_global = len(jax.devices())
     n_local = len(jax.local_devices())
-    assert n_global == 4 * num_procs, f"global devices: {n_global}"
-    assert n_local == 4
+    assert n_global == local_devices * num_procs, f"global: {n_global}"
+    assert n_local == local_devices
+
+    import numpy as np
 
     import jax.numpy as jnp
 
@@ -42,11 +96,14 @@ def main() -> int:
     from pdmpc_tpu.experiment import create_scenario
     from pdmpc_tpu.models.mpa import build_mpa
     from pdmpc_tpu.parallel import sharded
+    from pdmpc_tpu.utils.timing import ControllerTiming
 
     cfg = Config(
         scenario_type=ScenarioType(scenario_type), amount=4, T_end=1.0,
         beam_width=64,
     ).validate()
+    timing = ControllerTiming()
+    timing.start("hlc_init_all")
     mpa = build_mpa(cfg)
     scenario = create_scenario(cfg, mpa)
     # commonroad exercises the hard path across processes: non-convex
@@ -55,22 +112,29 @@ def main() -> int:
     mpa_t = mpa.to_tensors_for(cfg)
     sc_t = scenario.to_tensors()
 
-    # 2 scenario shards x 4 vehicle shards across both hosts: the vehicle
-    # axis spans processes, so per-level prediction exchange rides the
-    # cross-process collective (the reference's LAN DDS)
-    mesh = sharded.make_mesh(2, 4)
+    # scenario axis x vehicle axis: with 8 global devices the (2, 4)
+    # vehicle rows each span >= 2 processes (2 local devices per process),
+    # so per-level prediction exchange rides the cross-process collective
+    # (the reference's LAN DDS between NUCs)
+    n_veh_shards = 4
+    n_scen_shards = n_global // n_veh_shards
+    mesh = sharded.make_mesh(n_scen_shards, n_veh_shards)
     run = sharded.make_sharded_run(cfg, mpa_t, sc_t, mesh)
     states0 = sharded.place_batched_state(
-        sharded.batched_initial_state(sc_t, cfg.Hp, 2), mesh
+        sharded.batched_initial_state(sc_t, cfg.Hp, n_scen_shards), mesh
     )
-    final_state, infos = run(states0, mpa_t, sc_t)
+    timing.stop("hlc_init_all")
 
-    # replicated scalar summaries are safe to fetch on every process
-    pose_sum = float(jnp.sum(infos.poses))
+    collective_ms = _time_collectives(mesh)
+
+    timing.start("control_loop")
+    final_state, infos = run(states0, mpa_t, sc_t)
+    pose_sum = float(jnp.sum(infos.poses))          # forces completion
+    timing.stop("control_loop")
     fallbacks = int(jnp.sum(infos.needs_fallback))
 
     # reference invariant: distributed == sequential (systemtests run the
-    # same config in both modes); scenario batch is 2 identical rollouts
+    # same config in both modes); the scenario batch is identical rollouts
     seq_run = jax.jit(make_run(cfg))
     from pdmpc_tpu.controller import initial_state
 
@@ -78,13 +142,39 @@ def main() -> int:
     seq_pose_sum = float(jnp.sum(seq_infos.poses))
     seq_fallbacks = int(jnp.sum(seq_infos.needs_fallback))
 
+    b = n_scen_shards
     ok = (
-        abs(pose_sum - 2.0 * seq_pose_sum) < 1e-2 * abs(seq_pose_sum)
-        and fallbacks == 2 * seq_fallbacks
+        abs(pose_sum - b * seq_pose_sum) < 1e-2 * abs(seq_pose_sum)
+        and fallbacks == b * seq_fallbacks
     )
+
+    # persist the per-worker result incl. collective timings (the saved
+    # ExperimentResult timing struct of the reference's distributed runs)
+    import json
+    import os
+
+    out_dir = os.environ.get("PDMPC_MULTIHOST_OUT", "")
+    if out_dir:
+        record = {
+            "pid": pid,
+            "num_procs": num_procs,
+            "mesh": {"scenario": n_scen_shards, "vehicle": n_veh_shards},
+            "collective_timings": collective_ms,
+            "timings": {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in timing.get_all_timings().items()
+            },
+            "pose_sum": pose_sum,
+            "fallbacks": fallbacks,
+            "ok": ok,
+        }
+        with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as f:
+            json.dump(record, f, indent=1)
+
     print(
         f"RESULT pid={pid} ok={ok} pose_sum={pose_sum:.4f} "
-        f"seq2x={2 * seq_pose_sum:.4f} fallbacks={fallbacks}",
+        f"seq{b}x={b * seq_pose_sum:.4f} fallbacks={fallbacks} "
+        f"collectives={collective_ms}",
         flush=True,
     )
     return 0 if ok else 1

@@ -1,17 +1,55 @@
-"""2-process jax.distributed verification (the parallel_physically mode).
+"""Multi-process jax.distributed verification (parallel_physically mode).
 
 Reference: nuc_control/deploy_nuc.sh:17 — per-host launches of
-main_distributed(i). Here two OS processes form one jax.distributed
-cluster (4 virtual CPU devices each), the vehicle mesh axis spans both
-processes, and the sharded run must equal the sequential one (the
-reference's systemtest invariant across computation modes).
+main_distributed(i). Here 2 or 4 OS processes form one jax.distributed
+cluster, the vehicle mesh axis spans processes, and the sharded run must
+equal the sequential one (the reference's systemtest invariant across
+computation modes). Per-collective timings over the process-spanning mesh
+are recorded into each worker's saved result.
 """
 
+import json
 import os
 import subprocess
 import sys
 
 import pytest
+
+
+def _run_cluster(num_procs, local_devices, scenario, port, tmp_path,
+                 timeout=540):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PDMPC_MULTIHOST_OUT"] = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coordinator = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests._multihost_worker",
+             coordinator, str(num_procs), str(pid), scenario,
+             str(local_devices)],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(num_procs)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, (
+            f"worker {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
+        )
+        assert "ok=True" in out, f"worker {pid}:\n{out[-3000:]}"
+    # all processes computed the same replicated summary
+    lines = [
+        next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
+        for out in outputs
+    ]
+    sums = {ln.split("pose_sum=")[1].split()[0] for ln in lines}
+    assert len(sums) == 1, f"divergent results: {lines}"
+    return outputs
 
 
 @pytest.mark.parametrize("scenario,port", [
@@ -20,33 +58,26 @@ import pytest
     # over the cross-process collective
     ("commonroad", 29523),
 ])
-def test_two_process_distributed_run(scenario, port):
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    coordinator = f"127.0.0.1:{port}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "tests._multihost_worker",
-             coordinator, "2", str(pid), scenario],
-            cwd=repo, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(2)
-    ]
-    outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outputs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, (
-            f"worker {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
-        )
-        assert "ok=True" in out, f"worker {pid}:\n{out[-3000:]}"
-    # both processes computed the same replicated summary
-    lines = [
-        next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
-        for out in outputs
-    ]
-    sums = [ln.split("pose_sum=")[1].split()[0] for ln in lines]
-    assert sums[0] == sums[1], f"divergent results: {lines}"
+def test_two_process_distributed_run(scenario, port, tmp_path):
+    _run_cluster(2, 4, scenario, port, tmp_path)
+
+
+@pytest.mark.slow
+def test_four_process_distributed_run_hard_path(tmp_path):
+    """4 processes x 2 local devices: the (2, 4) mesh's vehicle rows each
+    span 2 OS processes — the closest CI approximation of the reference's
+    20-NUC topology (deploy_nuc.sh:17) — on the commonroad hard path.
+    Collective timings must land in every saved worker record."""
+    _run_cluster(4, 2, "commonroad", 29531, tmp_path, timeout=900)
+    records = []
+    for pid in range(4):
+        path = tmp_path / f"worker_{pid}.json"
+        assert path.exists(), f"worker {pid} saved no result record"
+        records.append(json.loads(path.read_text()))
+    for rec in records:
+        assert rec["ok"] is True
+        ct = rec["collective_timings"]
+        assert ct["all_gather_vehicle_ms"] > 0
+        assert ct["psum_vehicle_ms"] > 0
+        assert rec["mesh"] == {"scenario": 2, "vehicle": 4}
+        assert "control_loop" in rec["timings"]
