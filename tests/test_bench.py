@@ -48,6 +48,7 @@ class TestBench:
         assert out["collision_free"] is True
         assert "fallback_rate" in out and "wall_s_incl_compile" in out
 
+    @pytest.mark.slow
     def test_family_mode_extras(self):
         import bench
 

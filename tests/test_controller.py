@@ -190,13 +190,18 @@ class TestCompactSchedule:
     (controller.compact_schedule): every vehicle exactly once, chunks
     never mix levels, chunks emitted in level order."""
 
-    def test_random_levels(self):
+    # 50 random shapes = 50 jit compiles (~30 s each test); the default
+    # run keeps a 10-trial version, CI runs the full sweep
+    @pytest.mark.parametrize("n_trials", [
+        10, pytest.param(50, marks=pytest.mark.slow),
+    ])
+    def test_random_levels(self, n_trials):
         import jax.numpy as jnp
 
         from pdmpc_tpu.controller import compact_schedule
 
         rng = np.random.default_rng(7)
-        for trial in range(50):
+        for trial in range(n_trials):
             n = int(rng.integers(1, 24))
             c = int(rng.integers(1, n + 1))
             # 1-based levels with arbitrary gaps and arbitrary assignment
@@ -223,14 +228,17 @@ class TestCompactSchedule:
                 assert row_levels[0] >= prev_level
                 prev_level = row_levels[0]
 
-    def test_dataflow_schedule_random_dags(self):
+    @pytest.mark.parametrize("n_trials", [
+        10, pytest.param(50, marks=pytest.mark.slow),
+    ])
+    def test_dataflow_schedule_random_dags(self, n_trials):
         import jax.numpy as jnp
 
         from pdmpc_tpu.controller import compact_schedule
         from pdmpc_tpu.parallel.graph import kahn_levels
 
         rng = np.random.default_rng(11)
-        for trial in range(50):
+        for trial in range(n_trials):
             n = int(rng.integers(2, 24))
             c = int(rng.integers(1, n + 1))
             # random DAG: edges only from lower to higher index

@@ -38,6 +38,7 @@ class TestHp10Circle:
 
 
 class TestEvalPhdSweeps:
+    @pytest.mark.slow
     def test_tiny_run_sweeps(self, tmp_path):
         """eval_phd(run_sweeps=True) executes end-to-end at CI scale —
         including the Hp=10 circle arms (eval/phd.py)."""
