@@ -204,10 +204,12 @@ def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed,
             coupled &= jnp.any(pair_adj, axis=(-1, -2))
         return coupled
     # reachable_set_coupling (default): overlap area of last-step reachable
-    # sets > threshold (ReachableSetCoupler.m:39-48)
+    # sets > threshold (ReachableSetCoupler.m:39-48). The sort-free clip
+    # kernel replaces the angle-sorted construction: the 288-candidate
+    # multi-operand sort per pair was ~2 ms/step of the cr20 profile
     last = reachable_sets[:, -1]              # [N, K, 2]
     area = jax.vmap(
-        jax.vmap(geo.convex_intersection_area, in_axes=(None, 0)),
+        jax.vmap(geo.convex_intersection_area_clip, in_axes=(None, 0)),
         in_axes=(0, None),
     )(last, last)
     return (area > COUPLING_AREA_THRESHOLD) & ~eye

@@ -227,6 +227,90 @@ def convex_intersection_area(a, b):
     return jnp.where(n_valid >= 3, area, 0.0)
 
 
+def _ccw(poly):
+    """Canonicalize polygon orientation to CCW (reverse if clockwise)."""
+    x, y = poly[:, 0], poly[:, 1]
+    signed = jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
+    return jnp.where(signed >= 0.0, poly, poly[::-1])
+
+
+def _edge_portions_integral(a, b, strict):
+    """∮ x dy over the portions of CCW polygon ``a``'s edges inside CCW
+    convex polygon ``b`` — every edge is clipped against all of ``b``'s
+    half-planes as a t-interval (pure min/max, no sort, no gather).
+
+    ``strict`` handles boundary-collinear portions (subject edge lying ON
+    a non-degenerate b-edge line, num == 0): the non-strict pass always
+    keeps them; the strict pass drops the SAME-direction case (a genuine
+    shared boundary of the intersection — the other pass already counted
+    it once) and keeps the opposite-direction case (external touching —
+    the two passes' opposite-direction integrals cancel to zero area).
+    """
+    p1 = a
+    d = jnp.roll(a, -1, axis=0) - a                       # [VA, 2]
+    b1 = b
+    eb = jnp.roll(b, -1, axis=0) - b                      # [VB, 2]
+    nx, ny = -eb[:, 1], eb[:, 0]                          # inward normals
+    # degenerate clip edges are judged RELATIVE to the polygon scale:
+    # tangent polygons (outer_poly_approx) carry micro edges (~1e-7 of
+    # the diameter) between numerically coincident vertices whose
+    # direction is pure noise — used as half-planes they can empty the
+    # whole intersection. Dropping them is conservative (a sliver
+    # overestimate bounded by the min-area clamp in the caller).
+    len_clip = jnp.abs(nx) + jnp.abs(ny)
+    deg_clip = len_clip < jnp.maximum(1e-5 * jnp.max(len_clip), _EPS)
+    num = (nx[None, :] * (p1[:, 0, None] - b1[None, :, 0])
+           + ny[None, :] * (p1[:, 1, None] - b1[None, :, 1]))  # [VA, VB]
+    den = (nx[None, :] * d[:, 0, None]
+           + ny[None, :] * d[:, 1, None])                      # [VA, VB]
+    par = jnp.abs(den) < _EPS                             # edge ∥ clip line
+    tcross = -num / jnp.where(par, 1.0, den)
+    inert = par | deg_clip[None, :]      # no t constraint from this pair
+    lo = jnp.where((den > 0) & ~inert, tcross, 0.0)
+    hi = jnp.where((den < 0) & ~inert, tcross, 1.0)
+    # parallel-to-clip-line edges: no t constraint; the whole edge is out
+    # when strictly on the wrong side, or (strict pass only) when exactly
+    # on a same-direction clip line
+    outside = num < -0.0                                  # strictly outside
+    if strict:
+        same_dir = (d[:, 0, None] * eb[None, :, 0]
+                    + d[:, 1, None] * eb[None, :, 1]) > 0.0
+        outside = outside | ((num <= 0.0) & same_dir)
+    empty = jnp.any(par & ~deg_clip[None, :] & outside, axis=1)
+    t0 = jnp.clip(jnp.max(lo, axis=1), 0.0, 1.0)
+    t1 = jnp.clip(jnp.min(hi, axis=1), 0.0, 1.0)
+    keep = (t1 > t0) & ~empty
+    contrib = d[:, 1] * (p1[:, 0] * (t1 - t0)
+                         + d[:, 0] * 0.5 * (t1 * t1 - t0 * t0))
+    return jnp.sum(jnp.where(keep, contrib, 0.0))
+
+
+def convex_intersection_area_clip(a, b):
+    """Area of the intersection of convex polygons a [VA,2], b [VB,2] by
+    Green's theorem over clipped edges — sort- and gather-free.
+
+    area(A ∩ B) = ∮_{∂(A∩B)} x dy, and ∂(A∩B) is exactly (the portions of
+    A's edges inside B) ∪ (the portions of B's edges inside A), so the
+    area is the sum of closed-form line integrals over per-edge
+    t-intervals obtained by half-plane interval clipping. Replaces the
+    angle-sorted candidate-vertex construction of
+    :func:`convex_intersection_area` on the hot coupling path
+    (ReachableSetCoupler.m:39-45): the 288-candidate multi-operand sort
+    per vehicle pair dominated the coupling cost on TPU; this version is
+    pure vectorized min/max arithmetic. Shared boundary segments are
+    counted once (A-pass keeps them, B-pass is strict).
+    """
+    a = _ccw(a)
+    b = _ccw(b)
+    area = (_edge_portions_integral(a, b, strict=False)
+            + _edge_portions_integral(b, a, strict=True))
+    # the intersection can never exceed either polygon (also caps the
+    # sliver overestimate from dropped noise-edge constraints and zeroes
+    # degenerate point/segment polygons)
+    cap = jnp.minimum(polygon_area(a), polygon_area(b))
+    return jnp.clip(area, 0.0, cap)
+
+
 def point_in_ring(p, ring):
     """Crossing-number point-in-polygon for a (possibly non-convex) ring.
 

@@ -95,6 +95,88 @@ class TestIntersectionArea:
         assert area < 1e-2
 
 
+class TestIntersectionAreaClip:
+    """The sort-free Green's-theorem clip kernel (the hot coupling path)
+    must agree with the angle-sorted construction."""
+
+    def _both(self, a, b):
+        return (float(geo.convex_intersection_area(a, b)),
+                float(geo.convex_intersection_area_clip(a, b)))
+
+    def test_cases_match_sorted_version(self):
+        cases = [
+            (square(0, 0), square(1, 0)),          # half overlap
+            (square(0, 0), square(5, 5)),          # disjoint
+            (square(0, 0, 2.0), square(0, 0, 0.5)),  # contained
+            (square(0, 0), square(1.999, 0)),      # sliver
+        ]
+        for a, b in cases:
+            ref, clip = self._both(a, b)
+            assert clip == pytest.approx(ref, abs=1e-4)
+
+    def test_identical_polygons(self):
+        a = square(0.3, -0.2, 1.7)
+        _, clip = self._both(a, a)
+        assert clip == pytest.approx(float(geo.polygon_area(a)), rel=1e-5)
+
+    def test_touching_edge_zero_area(self):
+        # externally touching along a shared edge: area must be ~0, not
+        # a spurious line-integral contribution
+        a, b = square(0, 0), square(2, 0)
+        clip = float(geo.convex_intersection_area_clip(a, b))
+        assert clip == pytest.approx(0.0, abs=1e-5)
+
+    def test_orientation_agnostic(self):
+        a, b = square(0, 0), square(0.7, 0.4)
+        ref = float(geo.convex_intersection_area_clip(a, b))
+        assert float(
+            geo.convex_intersection_area_clip(a[::-1], b)
+        ) == pytest.approx(ref, rel=1e-6)
+        assert float(
+            geo.convex_intersection_area_clip(a, b[::-1])
+        ) == pytest.approx(ref, rel=1e-6)
+
+    def test_padded_vertices(self):
+        # our padding convention: repeat the last vertex
+        a = jnp.concatenate([square(0, 0),
+                             jnp.tile(square(0, 0)[-1:], (4, 1))])
+        b = square(1, 0)
+        ref, clip = self._both(a, b)
+        assert clip == pytest.approx(2.0, abs=1e-4)
+
+    def test_random_convex_pairs(self):
+        import jax
+
+        rng = np.random.default_rng(42)
+        f = jax.jit(jax.vmap(geo.convex_intersection_area))
+        g = jax.jit(jax.vmap(geo.convex_intersection_area_clip))
+
+        def rand_convex(n_pts, k):
+            pts = rng.uniform(-1.5, 1.5, size=(k, n_pts, 2))
+            # convex hull via angle sort around the centroid of uniform
+            # points is not a hull; instead build convex polys as
+            # K-direction supports of the point cloud
+            dirs = np.stack(
+                [np.cos(np.linspace(0, 2 * np.pi, 8, endpoint=False)),
+                 np.sin(np.linspace(0, 2 * np.pi, 8, endpoint=False))],
+                axis=-1,
+            )
+            out = []
+            for cloud in pts:
+                sup = cloud[np.argmax(cloud @ dirs.T, axis=0)]
+                out.append(sup)
+            return np.asarray(out, dtype=np.float32)
+
+        k = 256
+        a = jnp.asarray(rand_convex(24, k))
+        b = jnp.asarray(
+            rand_convex(24, k) + rng.uniform(-1, 1, size=(k, 1, 2))
+        )
+        ref = np.asarray(f(a, b))
+        clip = np.asarray(g(a, b))
+        np.testing.assert_allclose(clip, ref, atol=2e-4)
+
+
 class TestOuterApprox:
     def test_contains_points(self):
         rng = np.random.default_rng(0)
