@@ -55,7 +55,13 @@ def _compile_with_retry(fn, *args):
             time.sleep(90)
 
 
-def _build(scenario_type, n_vehicles, t_end, beam, priority="coloring"):
+def _build(scenario_type, n_vehicles, t_end, beam, priority="coloring",
+           level_chunk=None, unroll_layers=None):
+    """``level_chunk`` / ``unroll_layers``: execution knobs with
+    bit-identical results (tests/test_sharded.py A/B,
+    tests/test_controller.py). Chunk 2 + unrolled tail measures fastest
+    for single-rollout latency; chunk 3 + scan tail for batched
+    throughput (docs/PERF.md round-5 sweep)."""
     from pdmpc_tpu.config import Config, PriorityStrategies, ScenarioType
 
     cfg = Config(
@@ -68,6 +74,9 @@ def _build(scenario_type, n_vehicles, t_end, beam, priority="coloring"):
             if priority == "coloring"
             else PriorityStrategies.constant_priority
         ),
+        **({} if level_chunk is None else {"level_chunk": level_chunk}),
+        **({} if unroll_layers is None
+           else {"unroll_layers": unroll_layers}),
     ).validate()
     from pdmpc_tpu.experiment import create_scenario
     from pdmpc_tpu.models.mpa import build_mpa
@@ -439,25 +448,29 @@ def main():
 
     # throughput curve to 1024+ rollouts: shorter horizon (the per-step
     # cost is horizon-independent after warmup; 1024 x 20 steps would
-    # dominate bench wall time). The tunnel's remote-compile helper
-    # rejects the fully concurrent cr20 program above batch 512, so the
-    # 1024 entry runs as one lax.map program over 2x512 chunks, and the
-    # 1000+-FULLY-concurrent demonstration is the 4096-rollout circle
-    # entry (BASELINE.json config 5 scale).
-    curve_cfg, curve_mpa, curve_sc = _build("commonroad", 20, 1.0, 256)
-    batches = tuple(b for b in (32, 128, 512) if b <= max_curve_batch)
+    # dominate bench wall time). Chunk width 3 measures fastest for
+    # batched rollouts (bit-identical results). Since the sort-free
+    # coupling landed, the fully concurrent cr20 program compiles at
+    # batch 1024 (the round-4 remote-compile rejection is gone); the
+    # lax.map chunked mode remains as fallback only.
+    curve_cfg, curve_mpa, curve_sc = _build("commonroad", 20, 1.0, 256,
+                                            level_chunk=3,
+                                            unroll_layers=False)
+    batches = tuple(b for b in (32, 128, 512, 1024)
+                    if b <= max_curve_batch)
     curve = _batch_curve(curve_cfg, curve_mpa, curve_sc, batches)
-    if max_curve_batch >= 1024:
+    if any(c.get("batch") == 1024 and "error" in c for c in curve):
         try:
             s1024, e1024 = _throughput_chunked(
                 curve_cfg, curve_mpa, curve_sc, 1024, 512)
-            curve.append({
+            curve[-1] = {
                 "batch": 1024, "solves_per_s": round(s1024, 1),
                 "rollouts": 1024, "seconds": round(e1024, 3),
                 "mode": "one program, lax.map 2x512 chunks",
-            })
+            }
         except Exception as e:  # noqa: BLE001
-            curve.append({"batch": 1024, "error": type(e).__name__})
+            curve.append({"batch": 1024, "error": type(e).__name__,
+                          "mode": "chunked fallback also failed"})
     try:
         mc_cfg, mc_mpa, mc_sc = _build("circle", 4, 1.0, 64)
         s_mc, e_mc = _throughput(mc_cfg, mc_mpa, mc_sc, 4096, reps=1)

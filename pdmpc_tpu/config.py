@@ -169,6 +169,7 @@ _EQUALITY_IRRELEVANT = {
     "is_use_dynamic_programming",
     "should_do_dry_run",
     "level_chunk",
+    "unroll_layers",
     "use_pallas_collision",
 }
 
@@ -254,6 +255,13 @@ class Config:
     # pre-fix: 5 -> 10.9, 10 -> 14.8, 20 -> 27.4).
     # Purely a scheduling knob — results are identical at any value.
     level_chunk: int | None = None
+    # Unroll the saturated-layer tail of the beam search (None = True).
+    # Straight-line layers remove ~0.2 ms/chunk of scan carry staging —
+    # best for single-rollout latency — but keep every layer's candidate
+    # buffers live at once (~10 MB temp per rollout lane at beam 256), so
+    # LARGE batched rollouts run out of HBM headroom; False switches the
+    # tail to lax.scan. Purely an execution knob — results identical.
+    unroll_layers: bool | None = None
     # Pallas TPU kernel for the SAT collision mask (None = auto: on for TPU
     # backends, off for CPU). The kernel avoids materializing the
     # [candidates x obstacles x axes x vertices] projection tensor in HBM

@@ -943,6 +943,7 @@ def make_prioritized_step(cfg: Config, mpa: MpaTensors,
                             boundary_segments=bs, boundary_mask=bm,
                             use_pallas=use_pallas, segments_pre=sp,
                             active=al, non_convex=non_convex,
+                            unroll_tail=(cfg.unroll_layers is not False),
                         )
                     # sampled search, seeded per (seed, step, vehicle) like
                     # MonteCarloTreeSearch.m:31

@@ -298,6 +298,7 @@ def plan_trajectory(
     segments_pre=None,        # precomputed SegmentsPre (pallas path only)
     active=None,              # scalar bool: False -> kernels skip all work
     non_convex: bool = False,
+    unroll_tail: bool = True,
 ) -> PlanResult:
     """Plan one vehicle's Hp-step trajectory through the trim lattice.
 
@@ -601,10 +602,14 @@ def plan_trajectory(
         # full unroll for short tails: the scan's while-op machinery
         # (carry staging per iteration) measures ~0.2 ms per chunk on
         # v5e — straight-line code removes it; compile time stays
-        # bounded because the tail is at most a few layers
+        # bounded because the tail is at most a few layers. Callers
+        # disable the unroll for LARGE batched rollouts: straight-line
+        # layers keep all layers' candidate buffers live, and the temp
+        # footprint (~10 MB/lane at beam 256) starves HBM headroom at
+        # 512+ concurrent lanes (Config.unroll_layers).
         carry, (p_t, t_t, par_t, v_t) = jax.lax.scan(
             lambda cc, xx: layer(cc, xx, b, b), carry, tail_xs,
-            unroll=(hp - k0) <= 6,
+            unroll=unroll_tail and (hp - k0) <= 6,
         )
         for j in range(hp - k0):
             poses_l.append(p_t[j])
