@@ -225,23 +225,42 @@ def greedy_cut(weighted_directed: jax.Array, max_num_cls: int,
     if max_num_cls <= 1:
         return jnp.zeros_like(directed)
 
-    # edges in descending weight order; non-edges (exactly 0) sort between
-    # positive and negative edges and are skipped by the is_edge guard
+    # edges in descending weight order, non-edges (exactly 0) last: the
+    # loop then runs only over the actual edge count instead of all n^2
+    # slots. Edge-relative order is identical to sorting by -weight with
+    # zero slots interleaved (both argsorts are stable).
     flat_w = weighted_directed.reshape(-1)
-    order = jnp.argsort(-flat_w, stable=True)
+    is_edge = flat_w != 0.0
+    m = jnp.sum(is_edge)
+    order = jnp.argsort(jnp.where(is_edge, -flat_w, jnp.inf), stable=True)
 
-    def body(i, seq):
+    # Incremental longest-path matrix instead of a kahn() call per
+    # candidate edge (the reference re-levels per edge,
+    # GreedyCutter.m:57-63; a nested kahn fori_loop was ~8k dispatched
+    # inner iterations per cr20 step): R[u, v] = #edges on the longest
+    # path u -> v in the accepted graph (0 on the diagonal, "none"
+    # otherwise). All edges orient high -> low priority, so any subset
+    # is a DAG and max kahn level = longest chain + 1. Adding (r, c)
+    # can only lengthen chains THROUGH (r, c): the new longest chain is
+    # max_u R[u, r] + 1 + max_v R[c, v], an O(1) check, and acceptance
+    # updates R with one outer max — no inner loop.
+    none = jnp.int32(-n * 4)
+    r0 = jnp.where(jnp.eye(n, dtype=bool), 0, none).astype(_INT)
+
+    def body(i, carry):
+        reach, seq = carry
         e = order[i]
         r, c = e // n, e % n
-        is_edge = flat_w[e] != 0.0
-        candidate = seq.at[r, c].set(True)
-        levels, _ = kahn_levels(candidate)
-        ok = is_edge & (jnp.max(levels) <= max_num_cls)
-        return jnp.where(ok, candidate, seq)
+        up = jnp.max(reach[:, r])                    # >= 0 (diagonal)
+        down = jnp.max(reach[c, :])
+        ok = (up + 1 + down + 1) <= max_num_cls      # levels = edges + 1
+        via = reach[:, r][:, None] + 1 + reach[c, :][None, :]
+        reach = jnp.where(ok, jnp.maximum(reach, via), reach)
+        seq = jnp.where(ok, seq.at[r, c].set(True), seq)
+        return reach, seq
 
-    return jax.lax.fori_loop(
-        0, n * n, body, jnp.zeros_like(directed)
-    )
+    _, seq = jax.lax.fori_loop(0, m, body, (r0, jnp.zeros_like(directed)))
+    return seq
 
 
 def weak_components(directed: jax.Array) -> jax.Array:

@@ -152,6 +152,50 @@ class TestGreedyCut:
         # highest-weight edge is kept
         assert bool(seq[0, 1])
 
+    def test_matches_per_edge_kahn_reference(self):
+        """The incremental longest-path-matrix formulation must make
+        EXACTLY the reference's greedy decisions (GreedyCutter.m:57-63:
+        re-level per candidate edge, accept iff levels stay bounded)."""
+
+        def reference_cut(weighted, max_num_cls):
+            n = weighted.shape[0]
+            if max_num_cls >= n:
+                return weighted != 0.0
+            if max_num_cls <= 1:
+                return np.zeros_like(weighted, dtype=bool)
+            flat = weighted.reshape(-1)
+            order = np.argsort(-flat, kind="stable")
+            seq = np.zeros((n, n), dtype=bool)
+            for e in order:
+                r, c = divmod(int(e), n)
+                if flat[e] == 0.0:
+                    continue
+                cand = seq.copy()
+                cand[r, c] = True
+                levels, _ = g.kahn_levels(jnp.asarray(cand))
+                if int(jnp.max(levels)) <= max_num_cls:
+                    seq = cand
+            return seq
+
+        rng = np.random.default_rng(5)
+        for trial in range(12):
+            n = int(rng.integers(3, 9))
+            # priorities orient all edges consistently (a DAG, like the
+            # prioritized coupling graphs the cutter receives); weights
+            # include NEGATIVE values (distance weigher beyond d_max)
+            prio = rng.permutation(n)
+            w = np.zeros((n, n))
+            for i in range(n):
+                for j in range(n):
+                    if i != j and prio[i] < prio[j] and rng.random() < 0.5:
+                        w[i, j] = rng.uniform(-1, 1)
+            for bound in (2, 3, n // 2 + 1):
+                want = reference_cut(w, bound)
+                got = np.asarray(g.greedy_cut(jarr(w), bound, n))
+                np.testing.assert_array_equal(got, want, err_msg=(
+                    f"trial {trial} bound {bound}\n{w}"
+                ))
+
 
 class TestFallbackClosure:
     def test_propagates_through_coupling(self):
