@@ -185,6 +185,29 @@ class TestDistanceCouplerPrefilter:
         assert res.n_steps == 5
 
 
+class TestExecutionKnobs:
+    """Perf-only execution knobs must not change results
+    (Config._EQUALITY_IRRELEVANT contract)."""
+
+    def test_unroll_layers_bit_identical(self):
+        import dataclasses
+
+        import jax
+
+        from pdmpc_tpu.config import Config, ScenarioType
+        from pdmpc_tpu.experiment import run_experiment
+
+        cfg = Config(scenario_type=ScenarioType.circle, amount=3,
+                     T_end=1.0, beam_width=64).validate()
+        r1 = run_experiment(cfg)
+        r2 = run_experiment(
+            dataclasses.replace(cfg, unroll_layers=False).validate()
+        )
+        for a, b in zip(jax.tree.leaves(r1.infos),
+                        jax.tree.leaves(r2.infos)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestCompactSchedule:
     """Property test of the compact-level planning schedule
     (controller.compact_schedule): every vehicle exactly once, chunks
@@ -193,7 +216,7 @@ class TestCompactSchedule:
     # 50 random shapes = 50 jit compiles (~30 s each test); the default
     # run keeps a 10-trial version, CI runs the full sweep
     @pytest.mark.parametrize("n_trials", [
-        10, pytest.param(50, marks=pytest.mark.slow),
+        6, pytest.param(50, marks=pytest.mark.slow),
     ])
     def test_random_levels(self, n_trials):
         import jax.numpy as jnp
@@ -229,7 +252,7 @@ class TestCompactSchedule:
                 prev_level = row_levels[0]
 
     @pytest.mark.parametrize("n_trials", [
-        10, pytest.param(50, marks=pytest.mark.slow),
+        6, pytest.param(50, marks=pytest.mark.slow),
     ])
     def test_dataflow_schedule_random_dags(self, n_trials):
         import jax.numpy as jnp

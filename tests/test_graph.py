@@ -157,6 +157,22 @@ class TestGreedyCut:
         EXACTLY the reference's greedy decisions (GreedyCutter.m:57-63:
         re-level per candidate edge, accept iff levels stay bounded)."""
 
+        def kahn_max_level_np(directed):
+            # numpy kahn (jitting g.kahn_levels per candidate would pay
+            # a fresh compile for every graph size)
+            n = directed.shape[0]
+            a = directed.copy().astype(int)
+            done = np.zeros(n, dtype=bool)
+            level = 0
+            while not done.all():
+                sources = ~done & (a.sum(axis=0) == 0)
+                if not sources.any():
+                    return n + 1                    # cyclic
+                level += 1
+                a[sources, :] = 0
+                done |= sources
+            return level
+
         def reference_cut(weighted, max_num_cls):
             n = weighted.shape[0]
             if max_num_cls >= n:
@@ -172,8 +188,7 @@ class TestGreedyCut:
                     continue
                 cand = seq.copy()
                 cand[r, c] = True
-                levels, _ = g.kahn_levels(jnp.asarray(cand))
-                if int(jnp.max(levels)) <= max_num_cls:
+                if kahn_max_level_np(cand) <= max_num_cls:
                     seq = cand
             return seq
 

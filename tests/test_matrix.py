@@ -90,7 +90,13 @@ def test_every_axis_value_covered():
     assert cov[5] == set(W)
 
 
-@pytest.mark.parametrize("name", sorted(MATRIX_CONFIGS))
+@pytest.mark.parametrize("name", [
+    # mx06 (realistic MPA + full coupling + optimal voting) is the one
+    # ~35 s cell; optimal-voting golden coverage stays daily via mx10,
+    # the full pairwise matrix runs in CI
+    pytest.param(n, marks=pytest.mark.slow) if n == "mx06" else n
+    for n in sorted(MATRIX_CONFIGS)
+])
 def test_matrix_cell(name):
     res = run_experiment(MATRIX_CONFIGS[name])
     assert pairwise_vehicle_collisions(res) == [], name

@@ -78,6 +78,7 @@ class TestOutlineCollisions:
             )
         ).any()
 
+    @pytest.mark.slow
     def test_agrees_with_sat_on_convex_crossings(self):
         # on convex polygon pairs whose outlines cross, InterX == SAT
         rng = np.random.default_rng(7)

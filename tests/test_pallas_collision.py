@@ -44,6 +44,7 @@ def test_all_masked_no_hits():
     assert not got.any()
 
 
+@pytest.mark.slow
 def test_padded_degenerate_vertices():
     # framework convention: polygons padded by repeating the last vertex
     sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)

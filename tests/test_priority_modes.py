@@ -184,6 +184,7 @@ class TestOptimalEquivalence:
         for seed in range(5):
             self._run_case(adj, seed)
 
+    @pytest.mark.slow
     def test_random_sparse_graphs(self):
         rng = np.random.default_rng(0)
         for trial in range(8):
