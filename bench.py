@@ -433,6 +433,47 @@ def _latency(cfg, mpa_t, sc_t, n_steps=30):
     return float(np.percentile(arr, 95)), float(np.median(arr))
 
 
+def _compact_summary(result: dict) -> dict:
+    """Derive the <1 KB final summary line from the full bench record.
+
+    The driver's stdout capture keeps only a ~4 KB tail; this line,
+    printed LAST, is what it parses — it must stay small no matter how
+    the full record grows (tested in tests/test_bench.py).
+    """
+    extra = result.get("extra", {})
+    scaling = extra.get("mesh_scaling_8dev_cpu", {})
+    curve = extra.get("batch_scaling_curve", [])
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "summary": {
+            "headline_batch": extra.get("headline_run", {}).get("batch"),
+            "device_step_p95_ms": extra.get("device_step_p95_ms"),
+            "device_step_median_ms": extra.get("device_step_median_ms"),
+            "host_loop_p95_ms": extra.get("host_loop", {}).get(
+                "host_loop_p95_ms"),
+            "tpu_golden_ok": extra.get("tpu_vs_golden", {}).get(
+                "ok", False),
+            "mixed64_ok": extra.get("mixed_64veh", {}).get("ok", False),
+            "mesh_vehicle_axis_eff": (
+                scaling.get("vehicle_axis", {}).get(
+                    "efficiency_vs_physical")
+                if isinstance(scaling, dict) else None
+            ),
+            "monte_carlo_solves_per_s": extra.get(
+                "monte_carlo_4096_rollouts", {}).get("solves_per_s"),
+            "batch_curve": [
+                {k: c[k] for k in ("batch", "solves_per_s", "error")
+                 if k in c}
+                for c in curve[:6]
+            ],
+            "full_record": "results/bench_full.json",
+        },
+    }
+
+
 def main():
     batch = int(os.environ.get("PDMPC_BENCH_BATCH", "32"))
     max_curve_batch = int(os.environ.get("PDMPC_BENCH_MAX_BATCH", "1024"))
@@ -560,32 +601,7 @@ def main():
     # is far larger, so a truncated fragment is all that survives. Print a
     # compact (<1 KB) summary LAST so the captured tail always ends with a
     # parseable headline (BENCH_r03/r04 both recorded parsed:null).
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "vs_baseline": result["vs_baseline"],
-        "summary": {
-            "headline_batch": headline_run.get("batch"),
-            "device_step_p95_ms": round(dev_p95_ms, 2),
-            "device_step_median_ms": round(dev_med_ms, 2),
-            "host_loop_p95_ms": host_loop.get("host_loop_p95_ms"),
-            "tpu_golden_ok": golden_check.get("ok", False),
-            "mixed64_ok": mixed64.get("ok", False),
-            "mesh_vehicle_axis_eff": (
-                scaling.get("vehicle_axis", {}).get("efficiency_vs_physical")
-                if isinstance(scaling, dict) else None
-            ),
-            "monte_carlo_solves_per_s": monte_carlo.get("solves_per_s"),
-            "batch_curve": [
-                {k: c[k] for k in ("batch", "solves_per_s", "error")
-                 if k in c}
-                for c in curve
-            ],
-            "full_record": "results/bench_full.json",
-        },
-    }
-    print(json.dumps(compact))
+    print(json.dumps(_compact_summary(result)))
     if not golden_check.get("ok", False):
         print("FAIL: on-device trajectories drifted from the stored golden",
               file=sys.stderr)

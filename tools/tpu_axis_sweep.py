@@ -73,6 +73,17 @@ def main() -> int:
             scenario_type=ScenarioType.commonroad, amount=4, T_end=1.0,
             beam_width=64, priority=PriorityStrategies.optimal_priority,
         ),
+        # round 5: per-subgraph edge-orientation enumeration beyond the
+        # old 6-vehicle cap
+        "optimal_priority_cr8": Config(
+            scenario_type=ScenarioType.commonroad, amount=8, T_end=1.0,
+            beam_width=64, priority=PriorityStrategies.optimal_priority,
+        ),
+        # round 5: scan-tail execution knob (the batched bench path)
+        "scan_tail_cr4": Config(
+            scenario_type=ScenarioType.commonroad, amount=4, T_end=1.0,
+            beam_width=64, level_chunk=3, unroll_layers=False,
+        ),
         "explorative_priority_cr4": Config(
             scenario_type=ScenarioType.commonroad, amount=4, T_end=1.0,
             beam_width=64,
