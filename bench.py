@@ -116,9 +116,11 @@ def _throughput_chunked(cfg, mpa_t, sc_t, batch, chunk, reps=1):
     """Throughput at ``batch`` rollouts in ONE program, evaluated as
     ``batch/chunk`` sequential on-device chunks via ``lax.map``.
 
-    Used where the tunnel's remote-compile helper rejects the fully
-    concurrent program (cr20 at batch 1024); device-resident concurrency
-    is ``chunk`` at a time — entries are labeled accordingly.
+    Fallback only: since the sort-free coupling the fully concurrent
+    cr20 program compiles through batch 1024; this path remains for
+    rollout counts the remote-compile helper still rejects (2048+).
+    Device-resident concurrency is ``chunk`` at a time — entries are
+    labeled accordingly.
     """
     from pdmpc_tpu.controller import initial_state, make_run
 

@@ -206,13 +206,23 @@ def _couple(cfg: Config, reachable_sets, poses, max_mpa_speed,
     # reachable_set_coupling (default): overlap area of last-step reachable
     # sets > threshold (ReachableSetCoupler.m:39-48). The sort-free clip
     # kernel replaces the angle-sorted construction: the 288-candidate
-    # multi-operand sort per pair was ~2 ms/step of the cr20 profile
+    # multi-operand sort per pair was ~2 ms/step of the cr20 profile.
+    # Only the upper triangle is computed and mirrored: overlap is
+    # symmetric (the reference computes each unordered pair once too,
+    # ReachableSetCoupler.m:29-37), which halves the pair work AND makes
+    # the adjacency exactly symmetric by construction (the two evaluation
+    # orders of the clip integral agree only to ulps).
     last = reachable_sets[:, -1]              # [N, K, 2]
-    area = jax.vmap(
-        jax.vmap(geo.convex_intersection_area_clip, in_axes=(None, 0)),
-        in_axes=(0, None),
-    )(last, last)
-    return (area > COUPLING_AREA_THRESHOLD) & ~eye
+    iu, ju = np.triu_indices(n, 1)
+    iu = jnp.asarray(iu, dtype=jnp.int32)
+    ju = jnp.asarray(ju, dtype=jnp.int32)
+    pair_area = jax.vmap(geo.convex_intersection_area_clip)(
+        last[iu], last[ju]
+    )                                         # [N*(N-1)/2]
+    coupled_pair = pair_area > COUPLING_AREA_THRESHOLD
+    adj = jnp.zeros((n, n), dtype=bool)
+    adj = adj.at[iu, ju].set(coupled_pair)
+    return adj | adj.T
 
 
 # ---------------------------------------------------------------------------
