@@ -153,14 +153,17 @@ def _throughput_chunked(cfg, mpa_t, sc_t, batch, chunk, reps=1):
 def _batch_curve(cfg, mpa_t, sc_t, batches=(32, 128, 512, 1024)):
     """Throughput vs rollout batch — the 1000+-concurrent-rollouts story.
 
-    Each entry chains one warm rollout plus one timed rollout at that batch
-    (reps=1: large batches are long). OOM at a batch size is recorded and
+    Small batches run 3 chained reps: their ~0.3-1.5 s timing windows
+    are jitter-dominated through the tunnel (measured spread at batch 32
+    with reps=1: 3.6k-9.4k solves/s across bench runs). Large batches
+    are long enough for one rep. OOM at a batch size is recorded and
     the curve stops there.
     """
     curve = []
     for b in batches:
         try:
-            solves, elapsed = _throughput(cfg, mpa_t, sc_t, b, reps=1)
+            solves, elapsed = _throughput(cfg, mpa_t, sc_t, b,
+                                          reps=3 if b <= 128 else 1)
             curve.append({
                 "batch": b,
                 "solves_per_s": round(solves, 1),
