@@ -410,8 +410,13 @@ def _golden_crosscheck():
         out["coloring20_collision_free"] = True
         out["ok"] = True
         return out
-    except AssertionError as e:
+    except Exception as e:  # noqa: BLE001 — bench must still print its
+        # JSON lines even if the heavy golden runs die on a runtime error
+        # (e.g. a repeated remote-compile drop); AssertionError means
+        # drift, anything else is an execution failure — both red the
+        # gate but neither may swallow the compact summary line
         out["ok"] = False
+        out["error"] = type(e).__name__
         out["detail"] = str(e)[:500]
         return out
 
@@ -514,9 +519,10 @@ def main():
                 "rollouts": 1024, "seconds": round(e1024, 3),
                 "mode": "one program, lax.map 2x512 chunks",
             }
-        except Exception as e:  # noqa: BLE001
-            curve.append({"batch": 1024, "error": type(e).__name__,
-                          "mode": "chunked fallback also failed"})
+        except Exception as e:  # noqa: BLE001 — replace the concurrent
+            # failure entry rather than appending a second 1024 row
+            curve[-1] = {"batch": 1024, "error": type(e).__name__,
+                         "mode": "chunked fallback also failed"}
     try:
         mc_cfg, mc_mpa, mc_sc = _build("circle", 4, 1.0, 64)
         s_mc, e_mc = _throughput(mc_cfg, mc_mpa, mc_sc, 4096, reps=1)

@@ -358,6 +358,10 @@ def _solve_optimal(cfg: Config, comm, solve, adjacency):
     """
     n = adjacency.shape[0]
     e_cap = max(1, int(cfg.max_priority_permutations).bit_length() - 1)
+    # never more candidate rows than the static pair count can produce
+    # distinct orientations for (amount=2 has 1 pair slot -> 2 rows, not
+    # 2^e_cap wasted solves)
+    e_cap = max(1, min(e_cap, n * (n - 1) // 2))
     p_cnt = 1 << e_cap
 
     belonging = graph_ops.weak_components(adjacency)     # [N]

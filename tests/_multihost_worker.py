@@ -19,11 +19,19 @@ import sys
 import time
 
 
-def _time_collectives(mesh, n_iters: int = 20) -> dict:
-    """Time the two collectives the controller step rides on, over the
-    REAL process-spanning mesh axes: the per-level Predictions all_gather
-    (vehicle axis) and the SolutionCost psum. Reference: the
-    receive_from_others / publish_predictions spans of ControllerTiming.
+def _time_collectives(mesh, local_devices: int, n_iters: int = 20) -> dict:
+    """Time the two collectives the controller step rides on along the
+    vehicle axis: the per-level Predictions all_gather and the
+    SolutionCost psum. Reference: the receive_from_others /
+    publish_predictions spans of ControllerTiming.
+
+    Whether the vehicle axis actually crosses OS processes depends on
+    the topology (devices are process-ordered and the mesh is reshaped
+    row-major): with 4 local devices a (2, 4) vehicle row is one
+    process's devices (intra-process timings); with 2 local devices per
+    process each row spans 2 processes (the LAN-DDS analogue). The
+    record carries ``vehicle_axis_spans_processes`` so readers never
+    mistake one for the other.
     """
     import jax
     import jax.numpy as jnp
@@ -50,7 +58,7 @@ def _time_collectives(mesh, n_iters: int = 20) -> dict:
                          out_specs=P(None, None), check_vma=False)(x)
 
     x = jnp.ones((4, n_veh_shards * 16), dtype=jnp.float32)
-    out = {}
+    out = {"vehicle_axis_spans_processes": n_veh_shards > local_devices}
     for name, fn in (("all_gather_vehicle", gather_once),
                      ("psum_vehicle", psum_once)):
         r = fn(x)
@@ -112,10 +120,12 @@ def main() -> int:
     mpa_t = mpa.to_tensors_for(cfg)
     sc_t = scenario.to_tensors()
 
-    # scenario axis x vehicle axis: with 8 global devices the (2, 4)
-    # vehicle rows each span >= 2 processes (2 local devices per process),
-    # so per-level prediction exchange rides the cross-process collective
-    # (the reference's LAN DDS between NUCs)
+    # scenario axis x vehicle axis. Devices are process-ordered and the
+    # mesh reshapes row-major, so a (.., 4)-vehicle row crosses process
+    # boundaries only when local_devices < 4: the 4-proc x 2-local test
+    # makes the per-level prediction exchange ride the cross-process
+    # collective (the reference's LAN DDS between NUCs); the 2-proc x
+    # 4-local cases keep it intra-process and their timing records say so
     n_veh_shards = 4
     n_scen_shards = n_global // n_veh_shards
     mesh = sharded.make_mesh(n_scen_shards, n_veh_shards)
@@ -125,7 +135,7 @@ def main() -> int:
     )
     timing.stop("hlc_init_all")
 
-    collective_ms = _time_collectives(mesh)
+    collective_ms = _time_collectives(mesh, local_devices)
 
     timing.start("control_loop")
     final_state, infos = run(states0, mpa_t, sc_t)

@@ -79,6 +79,9 @@ def test_four_process_distributed_run_hard_path(tmp_path):
     for rec in records:
         assert rec["ok"] is True
         ct = rec["collective_timings"]
+        # 2 local devices per process: the vehicle rows genuinely cross
+        # process boundaries, so these ARE cross-process timings
+        assert ct["vehicle_axis_spans_processes"] is True
         assert ct["all_gather_vehicle_ms"] > 0
         assert ct["psum_vehicle_ms"] > 0
         assert rec["mesh"] == {"scenario": 2, "vehicle": 4}
